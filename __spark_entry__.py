@@ -1,10 +1,25 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Graph queries run over two deterministic graphs derived from the
+provided testdata tables (the engine's real input is a web-page table;
+see olive_spark.ingest — exercised by the pages_* queries below and by
+pytest):
+
+- bipartite:  supplier -> customer, one edge per lineitem (via orders);
+  ids: suppliers 0..S-1, customers S..S+C-1.
+- tripartite: supplier -> customer -> part -> supplier 3-cycles, one
+  triple per lineitem; ids extend with parts S+C..S+C+P-1.
+
+Iterative algorithms are compared at a FIXED superstep count K: the
+Spark engine runs exactly K supersteps and the DuckDB oracle unrolls K
+chained CTEs with identical semantics — deterministic equality without
+convergence guesswork. Floating-point ranks are compared as
+round(rank*1e9) BIGINTs to keep value-hashes float-noise-free.
 """
 
 from __future__ import annotations
@@ -12,27 +27,403 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olive_spark.ingest.resolve import (
+    TESTDATA_EDGES_SQL,
+    TESTDATA_TRI_EDGES_SQL,
+    register_testdata_views,
+    testdata_graph,
+    testdata_tri_graph,
+)
+
+PR_K = 5       # pagerank supersteps for the parity check
+CC_K = 8       # min-label supersteps
+LP_K = 3       # label-propagation supersteps
+BFS_K = 6      # bfs supersteps (bounded-hop levels)
+BFS_SOURCE = 0
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB; ANSI + generate_series)
+# ---------------------------------------------------------------------------
+
+# Vertex id spaces, derived from the (dense, 0-based) key columns so the
+# same SQL runs on DuckDB and matches spark.range(S+C[+P]) exactly.
+_VERTS_BI = (
+    "SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier "
+    "UNION ALL SELECT CAST((SELECT COUNT(*) FROM supplier) + c_custkey AS BIGINT) "
+    "FROM customer"
+)
+_VERTS_TRI = (
+    _VERTS_BI
+    + " UNION ALL SELECT CAST((SELECT COUNT(*) FROM supplier) "
+    "+ (SELECT COUNT(*) FROM customer) + p_partkey AS BIGINT) FROM part"
+)
+
+
+def _pagerank_sql(k: int) -> str:
+    """Unrolled k-iteration PageRank, reference semantics (damping .85,
+    no dangling redistribution, duplicate edges kept)."""
+    ctes = [
+        f"e AS MATERIALIZED ({TESTDATA_EDGES_SQL})",
+        f"v AS MATERIALIZED ({_VERTS_BI})",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "deg AS MATERIALIZED (SELECT v.id, CAST(COALESCE(d.cnt, 0) AS DOUBLE) AS outdeg "
+        "FROM v LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) d "
+        "ON v.id = d.src)",
+        "r0 AS MATERIALIZED (SELECT id, (SELECT 1.0/n FROM nv) AS rank FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.outdeg) AS acc "
+            f"FROM e JOIN r{i-1} r ON e.src = r.id JOIN deg ON deg.id = e.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, 0.85 * COALESCE(m{i}.acc, 0.0) "
+            f"+ 0.15 * (SELECT 1.0/n FROM nv) AS rank "
+            f"FROM v LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(rank * 1000000000) AS BIGINT) AS rank_e9 FROM r{k}"
+    )
+
+
+def _cc_sql(k: int) -> str:
+    """Unrolled k rounds of synchronous min-label over the undirected
+    closure of the tripartite graph."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({TESTDATA_TRI_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        f"v AS MATERIALIZED ({_VERTS_TRI})",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT s.dst AS id, MIN(l.label) AS ml "
+            f"FROM sym s JOIN l{i-1} l ON s.src = l.id GROUP BY s.dst)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, CAST(LEAST(p.label, COALESCE(m{i}.ml, p.label)) AS BIGINT) AS label "
+            f"FROM v JOIN l{i-1} p ON v.id = p.id LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label AS component FROM l{k}"
+
+
+def _bfs_sql(k: int, source: int) -> str:
+    """Unrolled k rounds of frontier BFS == min-distance within k hops;
+    unreached = 2147483647 (BFS.cu:101). Tripartite graph, directed."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({TESTDATA_TRI_EDGES_SQL})",
+        f"v AS MATERIALIZED ({_VERTS_TRI})",
+        f"l0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(2147483647 AS BIGINT) END AS level FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(l.level) + 1 AS ml "
+            f"FROM e0 e JOIN l{i-1} l ON e.src = l.id "
+            f"WHERE l.level < 2147483647 GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, CAST(LEAST(p.level, COALESCE(m{i}.ml, p.level)) AS BIGINT) AS level "
+            f"FROM v JOIN l{i-1} p ON v.id = p.id LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, level FROM l{k}"
+
+
+def _lp_sql(k: int) -> str:
+    """Unrolled k rounds of synchronous mode-label propagation
+    (tie-break: higher count, then smaller label), undirected closure."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({TESTDATA_TRI_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)",
+        f"v AS MATERIALIZED ({_VERTS_TRI})",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT s.dst AS id, l.label AS lab, COUNT(*) AS cnt "
+            f"FROM sym s JOIN l{i-1} l ON s.src = l.id GROUP BY s.dst, l.label)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT id, lab FROM (SELECT id, lab, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn FROM c{i}) t WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, CAST(COALESCE(b{i}.lab, p.label) AS BIGINT) AS label "
+            f"FROM v JOIN l{i-1} p ON v.id = p.id LEFT JOIN b{i} ON v.id = b{i}.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{k}"
+
+
+_DEGREES_SQL = f"""
+WITH e AS ({TESTDATA_EDGES_SQL}), v AS ({_VERTS_BI})
+SELECT v.id, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS outdeg
+FROM v LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) d
+ON v.id = d.src
+""".strip()
+
+_DEGREE_HIST_SQL = f"""
+WITH e AS ({TESTDATA_EDGES_SQL}), v AS ({_VERTS_BI}),
+deg AS (SELECT v.id, COALESCE(d.cnt, 0) AS outdeg
+        FROM v LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) d
+        ON v.id = d.src)
+SELECT CAST(CASE WHEN outdeg = 0 THEN 0 ELSE FLOOR(LOG2(outdeg)) + 1 END AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY 1
+""".strip()
+
+_TRI_TOTAL_SQL = f"""
+WITH e AS ({TESTDATA_TRI_EDGES_SQL}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM und e1
+JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+""".strip()
+
+_TRI_PER_VERTEX_SQL = f"""
+WITH e AS ({TESTDATA_TRI_EDGES_SQL}),
+v AS ({_VERTS_TRI}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+members AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT v.id, CAST(COALESCE(m.cnt, 0) AS BIGINT) AS triangles
+FROM v LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM members GROUP BY id) m
+ON v.id = m.id
+""".strip()
+
+# --- pipeline oracles over documents/embeddings ----------------------------
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+""".strip()
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+""".strip()
+
+_LANG_MARKER_SQL = """
+SELECT doc_id,
+       CAST((LENGTH(t) - LENGTH(REPLACE(t, ' the ', ''))) / 5
+          + (LENGTH(t) - LENGTH(REPLACE(t, ' and ', ''))) / 5
+          + (LENGTH(t) - LENGTH(REPLACE(t, ' of ', ''))) / 4
+          + (LENGTH(t) - LENGTH(REPLACE(t, ' to ', ''))) / 4 AS BIGINT) AS en_hits
+FROM (SELECT doc_id, ' ' || LOWER(text) || ' ' AS t FROM documents) s
+""".strip()
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       CAST(ROUND(
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0
+               AND list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) > 0
+         THEN list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+              / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                 * SQRT(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))))
+         ELSE 0.0 END * 10000) AS BIGINT) AS cosine_e4
+FROM embeddings e, q
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(TESTDATA_EDGES_SQL)
+
+
+def _q_tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(TESTDATA_TRI_EDGES_SQL)
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = testdata_graph(spark, sf_dir)
+    return g.degrees().select("id", F.col("outdeg").cast("long").alias("outdeg"))
+
+
+def _q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = testdata_graph(spark, sf_dir)
+    return g.degree_histogram()
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.pagerank import pagerank_fixed
+
+    g = testdata_graph(spark, sf_dir)
+    res = pagerank_fixed(g, iterations=PR_K)
+    return res.state.select(
+        "id", F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9")
+    )
+
+
+def _q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.cc import connected_components_fixed
+
+    g = testdata_tri_graph(spark, sf_dir)
+    res = connected_components_fixed(g, iterations=CC_K)
+    return res.state.select("id", F.col("component").cast("long").alias("component"))
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.bfs import bfs
+
+    g = testdata_tri_graph(spark, sf_dir)
+    res = bfs(g, source=BFS_SOURCE, max_iterations=BFS_K)
+    return res.state.select("id", F.col("level").cast("long").alias("level"))
+
+
+def _q_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.labelprop import label_propagation
+
+    g = testdata_tri_graph(spark, sf_dir)
+    res = label_propagation(g, iterations=LP_K)
+    return res.state.select("id", F.col("label").cast("long").alias("label"))
+
+
+def _q_tri_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.triangles import triangle_count
+
+    g = testdata_tri_graph(spark, sf_dir)
+    per, total = triangle_count(g)
+    per.unpersist()
+    return spark.createDataFrame([(total,)], "triangles long")
+
+
+def _q_tri_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.triangles import triangle_count
+
+    g = testdata_tri_graph(spark, sf_dir)
+    per, _ = triangle_count(g)
+    return per.select("id", F.col("triangles").cast("long").alias("triangles"))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.dedup import exact_duplicates
+
+    register_testdata_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return exact_duplicates(docs).select(
+        "md5", "n_docs",
+        F.array_min("doc_ids").cast("long").alias("min_doc_id"),
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.textstats import token_stats
+
+    register_testdata_views(spark, sf_dir)
+    return token_stats(spark.table("documents")).select("doc_id", "n_chars", "n_tokens")
+
+
+def _q_lang_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.textstats import _count_occurrences
+
+    register_testdata_views(spark, sf_dir)
+    docs = spark.table("documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hits = sum(
+        (_count_occurrences(padded, m) for m in (" the ", " and ", " of ", " to ")),
+        F.lit(0).cast("long"),
+    )
+    return docs.select("doc_id", hits.alias("en_hits"))
+
+
+def _q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.similarity import cosine_scores
+
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_scores(emb, [float(x) for x in qv], round_digits=None).select(
+        "vec_id", F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4")
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates — no SQL oracle (xxhash64 not in DuckDB);
+    driver records the weaker rows-only check; pytest holds the
+    ground-truth comparison vs exact jaccard."""
+    from olive_spark.pipeline.dedup import minhash_lsh_candidates
+
+    register_testdata_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+
+
+def _q_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full web ingest path on a synthesized page table encoding the
+    chain topology; returns per-page outlink counts. No SQL oracle
+    (Arrow-UDF extraction); rows-only check + pytest goldens."""
+    from olive_spark.fixtures import chain_graph
+    from olive_spark.ingest.pages import synth_pages
+    from olive_spark.ingest.resolve import build_graph_from_pages
+
+    n, e = chain_graph(100)
+    pages = synth_pages(spark, n, e, num_partitions=8)
+    graph, _ = build_graph_from_pages(spark, pages, num_partitions=8)
+    return graph.degrees().select("id", F.col("outdeg").cast("long").alias("outdeg"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: PageRank over the
+    testdata link graph (driver checks rows > 0, stable schema)."""
+    return _q_pagerank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_build": _q_edges,
+        "edge_build_tri": _q_tri_edges,
+        "out_degrees": _q_degrees,
+        "degree_histogram": _q_degree_hist,
+        "pagerank_k5": _q_pagerank,
+        "cc_k8": _q_cc,
+        "bfs_k6": _q_bfs,
+        "labelprop_k3": _q_lp,
+        "triangle_total": _q_tri_total,
+        "triangle_per_vertex": _q_tri_per_vertex,
+        "doc_exact_dedup": _q_exact_dedup,
+        "doc_token_stats": _q_token_stats,
+        "doc_lang_markers": _q_lang_markers,
+        "emb_cosine_scores": _q_cosine,
+        "doc_minhash_lsh": _q_minhash_lsh,
+        "pages_ingest_degrees": _q_pages_ingest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edge_build": TESTDATA_EDGES_SQL,
+        "edge_build_tri": TESTDATA_TRI_EDGES_SQL,
+        "out_degrees": _DEGREES_SQL,
+        "degree_histogram": _DEGREE_HIST_SQL,
+        "pagerank_k5": _pagerank_sql(PR_K),
+        "cc_k8": _cc_sql(CC_K),
+        "bfs_k6": _bfs_sql(BFS_K, BFS_SOURCE),
+        "labelprop_k3": _lp_sql(LP_K),
+        "triangle_total": _TRI_TOTAL_SQL,
+        "triangle_per_vertex": _TRI_PER_VERTEX_SQL,
+        "doc_exact_dedup": _EXACT_DEDUP_SQL,
+        "doc_token_stats": _TOKEN_STATS_SQL,
+        "doc_lang_markers": _LANG_MARKER_SQL,
+        "emb_cosine_scores": _COSINE_SQL,
+        # doc_minhash_lsh, pages_ingest_degrees: intentionally no oracle
+        # (non-SQL-expressible: xxhash64 signatures / Arrow-UDF ingest)
+    }

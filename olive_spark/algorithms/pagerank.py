@@ -1,0 +1,73 @@
+"""PageRank with exact reference semantics (PageRank.cu).
+
+- init: rank = delta = 1/N                       (PR_init_F, PageRank.cu:77-87)
+- gather: rank/outdegree per out-edge            (PR_edge_F, PageRank.cu:53-55)
+- reduce: sum (atomicAdd)                        (PageRank.cu:57-60)
+- update: new = 0.85*accum + 0.15/N; delta       (PR_vertex_F, PageRank.cu:63-75)
+- halt: sum(|delta|) < 1e-7, max 100 rounds      (PageRank.cu:106-108,126-127)
+- NO dangling redistribution: sinks contribute nothing, ranks need not
+  sum to 1 (testPageRank.cu:79-85; SURVEY.md §1.4) — replicated here.
+- duplicate edges counted multiply (no dedup in csrGraph.h:106-171).
+
+Scale: full-frontier program — every superstep is
+state ⋈ edges (edges cached, pre-partitioned by src; only the narrow
+(id, rank) side shuffles) → groupBy(dst).sum (map-side partial agg
+pre-combines hub in-degree mass) → withColumn update → one agg action
+for the convergence err (the superstep barrier, as in oliver.h:176-183).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olive_spark.graph import Graph
+from olive_spark.pregel import ACCUM, PregelProgram, PregelResult, pregel, src, vertex_reduce
+
+
+def pagerank(
+    graph: Graph,
+    damping: float = 0.85,
+    epsilon: float = 1e-7,
+    max_iterations: int = 100,
+    checkpoint_store=None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> PregelResult:
+    n = graph.vertex_count()
+    one_over_n = 1.0 / n
+    add_constant = (1.0 - damping) * one_over_n
+
+    def halt(state, superstep):
+        err = vertex_reduce(state, F.sum(F.abs(F.col("delta"))))
+        return err is not None and err < epsilon
+
+    program = PregelProgram(
+        init={"rank": F.lit(one_over_n), "delta": F.lit(one_over_n)},
+        gather=src("rank") / src("outdeg"),
+        agg=F.sum,
+        update={
+            "rank": F.lit(damping) * ACCUM() + F.lit(add_constant),
+            "delta": F.lit(damping) * ACCUM() + F.lit(add_constant) - F.col("rank"),
+        },
+        cond=None,
+        accum_default=0.0,  # vertices with no in-edges gather 0 (oliver.h:127)
+        full_frontier=True,
+        halt=halt if epsilon is not None else None,
+    )
+    return pregel(
+        graph,
+        program,
+        max_iterations=max_iterations,
+        checkpoint_store=checkpoint_store,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+
+
+def pagerank_fixed(graph: Graph, iterations: int, damping: float = 0.85) -> PregelResult:
+    """Exactly `iterations` supersteps, no convergence action — used for
+    oracle-parity runs and benchmarking steady-state superstep cost."""
+    res = pagerank(
+        graph, damping=damping, epsilon=None, max_iterations=iterations
+    )
+    return res

@@ -1,0 +1,53 @@
+"""Single-source shortest paths with reference semantics (SSSP.cu).
+
+Bellman-Ford with frontier pruning:
+- init: distance = INF except source = 0           (SSSP.cu:106-130)
+- edge weights: initialized to 1 at runtime via an edgeMap over the
+  universal set (SSSP.cu:90-103, SSSP.cu:131) — here `unit_weights=True`
+  overwrites the weight column, the Spark analogue of that edgeMap;
+  pass False to honor the edge table's weights (the general engine).
+- gather: distance + weight                        (SSSP.cu:56-58)
+- reduce: atomicMin -> F.min                       (SSSP.cu:60-63)
+- cond: distance > accum                           (SSSP.cu:72-75)
+- negative-cycle break at iterations == vertexCount (SSSP.cu:153-157).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from olive_spark.graph import Graph
+from olive_spark.pregel import ACCUM, PregelProgram, PregelResult, pregel, edge, src
+
+INF32 = 2147483647
+
+
+def sssp(graph: Graph, source: int, unit_weights: bool = True,
+         max_iterations: int | None = None,
+         checkpoint_store=None, checkpoint_every: int = 1,
+         resume: bool = False) -> PregelResult:
+    if unit_weights:
+        g = Graph(
+            vertices=graph.vertices,
+            edges=graph.edges.withColumn("weight", F.lit(1.0)),
+            num_partitions=graph.num_partitions,
+        )
+    else:
+        g = graph
+    if max_iterations is None:
+        max_iterations = graph.vertex_count()  # negative-cycle break
+    program = PregelProgram(
+        init={
+            "distance": F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(INF32)).cast("long"),
+            "_active": F.col("id") == source,
+        },
+        gather=src("distance") + edge("weight").cast("long"),
+        agg=F.min,
+        update={"distance": ACCUM()},
+        cond=F.col("distance") > ACCUM(),
+        accum_default=None,
+        full_frontier=False,
+    )
+    return pregel(g, program, max_iterations=max_iterations,
+                  checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
+                  resume=resume)

@@ -1,0 +1,246 @@
+"""Graph data model: explicit vertex table + directed edge table.
+
+Reference mapping (ACSAlab/olive):
+- COO edge tuple ``EdgeTuple{srcId, dstId, value}`` (edgeTuple.h:39-54)
+  -> edge DataFrame ``(src: long, dst: long, weight: double)``.
+- CSR ``CsrGraph`` (csrGraph.h:55-84) -> the same edge DataFrame
+  hash-partitioned by ``src`` and cached: a vertex's out-edges are
+  co-located in one partition, which is exactly the reference's
+  random edge-cut placement (partitionStrategy.h:58-62, olive.h:432-446).
+- The explicit dense vertex id space ``0..N-1`` (csrGraph.h:129-135,
+  incl. isolated vertices, data/isolatedGraph_1K) -> a vertex DataFrame;
+  never derived from edges alone.
+- Out-degree (``vertices[v+1]-vertices[v]``, oliverKernel.h:71-73)
+  -> a materialized, cached ``degrees`` DataFrame computed once.
+
+Semantics preserved exactly (SURVEY.md §1.4): directed edges, duplicate
+edges KEPT, dangling vertices contribute no PageRank mass, file weights
+parsed but forced to 1.0 by the loader (csrGraph.h:139).
+
+Scale notes: the edge table is the 100TB side. It is shuffled ONCE
+(repartition by ``src``) and cached; every superstep joins the small
+vertex-state table against it. groupBy(dst) aggregations rely on
+Tungsten partial (map-side) aggregation, so in-degree hub skew is
+combined before the shuffle; AQE skew-join splits oversized join
+partitions for out-degree hubs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType(), False),
+        T.StructField("dst", T.LongType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+    ]
+)
+
+VERTEX_SCHEMA = T.StructType([T.StructField("id", T.LongType(), False)])
+
+
+@dataclass
+class Graph:
+    """A directed graph as a pair of DataFrames.
+
+    vertices: (id: long) — the complete id space, including isolated ids.
+    edges:    (src: long, dst: long, weight: double) — duplicates kept.
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    num_partitions: int = 32
+    _degrees: DataFrame | None = field(default=None, repr=False)
+    _vertex_count: int | None = field(default=None, repr=False)
+    _edge_count: int | None = field(default=None, repr=False)
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_edges(
+        cls,
+        spark: SparkSession,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        num_partitions: int | None = None,
+        partition: bool = True,
+    ) -> "Graph":
+        """Build a Graph; optionally hash-partition+cache the edge table.
+
+        ``partition=True`` performs the one-time edge-cut placement:
+        ``repartition(n, src)`` — the Spark analogue of
+        Olive::readGraph's random edge-cut partitioning (olive.h:432-446).
+        """
+        if num_partitions is None:
+            num_partitions = spark.sparkContext.defaultParallelism
+        edges = edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            (
+                F.col("weight").cast("double")
+                if "weight" in edges.columns
+                else F.lit(1.0)
+            ).alias("weight"),
+        )
+        if partition:
+            edges = edges.repartition(num_partitions, "src").cache()
+        if vertices is None:
+            # Fallback when no explicit id space is given: union of endpoints.
+            # NOTE: misses isolated vertices — callers with a known id space
+            # (file header N, or a resolved url table) should pass `vertices`.
+            vertices = (
+                edges.select(F.col("src").alias("id"))
+                .union(edges.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        vertices = vertices.select(F.col("id").cast("long").alias("id"))
+        vertices = vertices.repartition(num_partitions, "id").cache()
+        return cls(vertices=vertices, edges=edges, num_partitions=num_partitions)
+
+    @classmethod
+    def from_edge_list(
+        cls,
+        spark: SparkSession,
+        pairs: list[tuple],
+        n_vertices: int | None = None,
+        num_partitions: int | None = None,
+    ) -> "Graph":
+        """Build from a Python list of (src, dst[, weight]) tuples (tests/fixtures).
+
+        Mirrors CsrGraph::fromEdgeListFile semantics (csrGraph.h:106-171):
+        weights in the input are DISCARDED — every edge gets weight 1.0
+        (csrGraph.h:139); duplicates kept; dense id space 0..N-1.
+        """
+        rows = [(int(p[0]), int(p[1]), 1.0) for p in pairs]
+        edges = spark.createDataFrame(rows, schema=EDGE_SCHEMA) if rows else (
+            spark.createDataFrame([], schema=EDGE_SCHEMA)
+        )
+        if n_vertices is None:
+            n_vertices = 1 + max((max(p[0], p[1]) for p in pairs), default=-1)
+        vertices = spark.range(n_vertices).select(F.col("id").cast("long").alias("id"))
+        return cls.from_edges(
+            spark, edges, vertices=vertices, num_partitions=num_partitions
+        )
+
+    @classmethod
+    def from_edge_list_file(
+        cls, spark: SparkSession, path: str, num_partitions: int | None = None
+    ) -> "Graph":
+        """Parse the reference's edge-list text format distributedly.
+
+        Format (csrGraph.h:87-105): '#' comments; first data line 'N M';
+        then 'src dst [weight]' per line. Weight discarded (csrGraph.h:139).
+        Unlike the reference loader, this is order-independent — it does
+        not assume src-sorted input (csrGraph.h:149-160 does).
+        """
+        lines = spark.read.text(path).filter(
+            ~F.col("value").startswith("#") & (F.trim("value") != "")
+        )
+        parts = lines.select(F.split(F.trim("value"), r"\s+").alias("p"))
+        # Header = the one line whose token count is 2 AND equals (N, M)…
+        # cannot be distinguished from an unweighted edge by shape alone, so
+        # read the header on the driver (it is the first data line by spec).
+        with open(path) as fh:
+            header = None
+            for raw in fh:
+                s = raw.strip()
+                if s and not s.startswith("#"):
+                    header = s.split()
+                    break
+        if header is None:
+            raise ValueError(f"no header line in {path}")
+        n_vertices = int(header[0])
+        edges = (
+            parts.withColumn("rn", F.monotonically_increasing_id())
+            .filter(~((F.col("p")[0] == header[0]) & (F.col("p")[1] == header[1])
+                      & (F.size("p") == 2) & (F.col("rn") == F.lit(0))))
+            .select(
+                F.col("p")[0].cast("long").alias("src"),
+                F.col("p")[1].cast("long").alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
+        # Robust header strip: drop exactly one row matching the header pair.
+        # monotonically_increasing_id()==0 identifies the first row of the
+        # first partition, which for a single text file is the header line.
+        vertices = spark.range(n_vertices).select(F.col("id").cast("long").alias("id"))
+        return cls.from_edges(spark, edges, vertices=vertices, num_partitions=num_partitions)
+
+    # ------------------------------------------------------------------
+    # Derived structures
+    # ------------------------------------------------------------------
+    def degrees(self) -> DataFrame:
+        """Out-degree table (id, outdeg) — computed once, cached.
+
+        Reference computes outdegree inline per kernel
+        (oliverKernel.h:71-73); materializing it once amortizes the
+        aggregation over all supersteps. Left join from vertices keeps
+        dangling/isolated vertices at outdeg 0.
+        """
+        if self._degrees is None:
+            deg = self.edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+            self._degrees = (
+                self.vertices.join(deg, self.vertices.id == deg.src, "left")
+                .select("id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+                .repartition(self.num_partitions, "id")
+                .cache()
+            )
+        return self._degrees
+
+    def vertex_count(self) -> int:
+        if self._vertex_count is None:
+            self._vertex_count = self.vertices.count()
+        return self._vertex_count
+
+    def edge_count(self) -> int:
+        if self._edge_count is None:
+            self._edge_count = self.edges.count()
+        return self._edge_count
+
+    def symmetrized(self) -> "Graph":
+        """Undirected closure: edges ∪ reversed(edges), duplicates kept.
+
+        Used by connected components / label propagation, which are
+        defined on the undirected closure (FIXTURES.md cc_out).
+        """
+        rev = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        sym = self.edges.unionByName(rev)
+        g = Graph.from_edges(
+            self.edges.sparkSession,
+            sym,
+            vertices=self.vertices,
+            num_partitions=self.num_partitions,
+        )
+        return g
+
+    def degree_histogram(self) -> DataFrame:
+        """log2-bucketed out-degree histogram (csrGraph.h:253-284).
+
+        Bucket 0 = degree 0; bucket k = degrees in [2^(k-1), 2^k).
+        """
+        deg = self.degrees()
+        return (
+            deg.select(
+                F.when(F.col("outdeg") == 0, F.lit(0))
+                .otherwise(F.floor(F.log2(F.col("outdeg"))) + 1)
+                .cast("int")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vertices"))
+            .orderBy("bucket")
+        )
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+        self.vertices.unpersist()
+        if self._degrees is not None:
+            self._degrees.unpersist()

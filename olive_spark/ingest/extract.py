@@ -1,0 +1,76 @@
+"""HTML text + link extraction as vectorized Arrow UDFs.
+
+The reference engine consumes pre-built edge lists
+(CsrGraph::fromEdgeListFile, csrGraph.h:106-171); at web scale the edge
+list must itself be derived from crawled pages. Per the input hint this
+happens with pandas/Arrow UDFs only — no per-row Python UDFs — and the
+text extractor must be byte-identical per url between the distributed
+run and the serial reference function (`extract_text_bytes`).
+
+Determinism: `extract_text_bytes` is a single pure function of the html
+bytes — no locale, no environment, no library version drift (stdlib
+`re` only) — pinned by tests/test_ingest.py golden assertions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HEAD_RE = re.compile(rb"<head>.*?</head>", re.S)
+_SCRIPT_RE = re.compile(rb"<(script|style)\b.*?</\1>", re.S)
+_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(rb"\s+")
+_HREF_RE = re.compile(rb'<a\s[^>]*href="([^"]+)"')
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """THE reference text extractor — serial, pure, deterministic.
+
+    head/script/style dropped, tags replaced by a space, whitespace
+    collapsed, stripped; utf-8 decode last so byte-level regexes keep
+    the function independent of Python's str internals.
+    """
+    s = _HEAD_RE.sub(b" ", html)
+    s = _SCRIPT_RE.sub(b" ", s)
+    s = _TAG_RE.sub(b" ", s)
+    s = _WS_RE.sub(b" ", s).strip()
+    return s.decode("utf-8")
+
+
+def extract_links_bytes(html: bytes) -> list[str]:
+    """All <a href="..."> targets, in document order, duplicates kept
+    (duplicate edges are reference semantics, SURVEY.md §1.4)."""
+    return [m.decode("utf-8") for m in _HREF_RE.findall(html)]
+
+
+@F.pandas_udf(T.StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _extract_links_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_links_bytes)
+
+
+def with_extracted_text(pages: DataFrame, out_col: str = "extracted_text") -> DataFrame:
+    """pages + extracted text column (Arrow-vectorized)."""
+    return pages.withColumn(out_col, _extract_text_udf(F.col("html")))
+
+
+def extract_links_df(pages: DataFrame) -> DataFrame:
+    """pages -> links(src_url, dst_url), one row per anchor, order kept
+    within a page only implicitly (duplicates preserved).
+
+    Column pruning matters at 100TB: only (url, html) are read from the
+    scan; the explode happens after the Arrow batch extraction.
+    """
+    return (
+        pages.select("url", _extract_links_udf(F.col("html")).alias("hrefs"))
+        .select(F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url"))
+    )

@@ -1,0 +1,155 @@
+"""Link resolution: urls -> vertex ids -> edge table.
+
+Two id-assignment strategies:
+
+- ``sort``: id = rank of url in global lexicographic order (FIXTURES.md
+  layer B). Deterministic and dense (0..N-1) — the reference's dense id
+  space (csrGraph.h:129-135). Costs a global sort + row_number; fine to
+  ~10^9 urls, the strategy used for oracle-comparable tests.
+- ``hash``: id = xxhash64(url) — shuffle-free, collision probability
+  ~N^2/2^64 (≈3e-5 at 10^12 docs — detected by a count check), the
+  100TB path. Ids are sparse, which the engine supports (vertex table
+  is explicit).
+
+Edges keep duplicates (reference semantics); links to urls outside the
+page set are dropped (dangling *targets* — distinct from dangling
+*vertices*, which are pages with no outlinks and are kept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from olive_spark.graph import Graph
+from olive_spark.ingest.extract import extract_links_df
+
+
+def assign_ids(urls: DataFrame, method: str = "sort") -> DataFrame:
+    """urls(url) -> vertices(id, url). ``urls`` must be distinct."""
+    if method == "hash":
+        return urls.select(F.xxhash64("url").alias("id"), "url")
+    if method == "sort":
+        # row_number over a global order: Spark plans a range-partitioned
+        # sort, but the window without PARTITION BY runs single-partition —
+        # acceptable for the deterministic test path only (see module doc).
+        w = Window.orderBy("url")
+        return urls.select((F.row_number().over(w) - 1).cast("long").alias("id"), "url")
+    raise ValueError(method)
+
+
+def resolve_edges(
+    links: DataFrame, vertices: DataFrame
+) -> DataFrame:
+    """links(src_url, dst_url) ⋈ vertices(id, url) twice -> (src, dst, weight).
+
+    Inner joins drop links whose target is not a known page. At scale
+    the vertex table is the smaller side; Catalyst broadcasts it when it
+    fits, else a shuffle join with AQE skew splitting (hub pages are
+    linked from everywhere — classic web skew).
+    """
+    v_src = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    v_dst = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    return (
+        links.join(v_src, "src_url")
+        .join(v_dst, "dst_url")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def build_graph_from_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    id_method: str = "sort",
+    num_partitions: int | None = None,
+) -> tuple[Graph, DataFrame]:
+    """Full ingest: pages -> links -> resolved, partitioned Graph.
+
+    Returns (graph, vertices_with_urls) — the id<->url mapping is kept
+    so results can be joined back to urls (the multi-GPU engine's
+    global-id remap, olive.h:416-426, is exactly this join).
+    """
+    links = extract_links_df(pages)
+    urls = pages.select("url").distinct()
+    vertices = assign_ids(urls, method=id_method).cache()
+    edges = resolve_edges(links, vertices)
+    graph = Graph.from_edges(
+        spark,
+        edges,
+        vertices=vertices.select("id"),
+        num_partitions=num_partitions,
+    )
+    return graph, vertices
+
+
+# ---------------------------------------------------------------------------
+# Deterministic graph over the driver-provided TPC-H-ish testdata:
+# a supplier->customer bipartite multigraph (one edge per lineitem via its
+# order), dense ids: suppliers 0..S-1, customers S..S+C-1. The SAME SQL
+# string runs on Spark (temp views) and DuckDB (oracle) — the correctness
+# gate's common ground.
+# ---------------------------------------------------------------------------
+TESTDATA_EDGES_SQL = """
+SELECT CAST(l.l_suppkey AS BIGINT) AS src,
+       CAST((SELECT COUNT(*) FROM supplier) + o.o_custkey AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+""".strip()
+
+
+# Second derived graph with rich connectivity and triangles: a tripartite
+# 3-cycle multigraph — every lineitem row (via its order) emits
+# supplier->customer, customer->part, part->supplier. Id spaces:
+# suppliers [0,S), customers [S,S+C), parts [S+C,S+C+P).
+TESTDATA_TRI_EDGES_SQL = """
+WITH n AS (
+  SELECT (SELECT COUNT(*) FROM supplier) AS s,
+         (SELECT COUNT(*) FROM customer) AS c
+),
+rows_ AS (
+  SELECT l.l_suppkey AS supp,
+         n.s + o.o_custkey AS cust,
+         n.s + n.c + l.l_partkey AS part
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  CROSS JOIN n
+)
+SELECT CAST(supp AS BIGINT) AS src, CAST(cust AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight FROM rows_
+UNION ALL
+SELECT CAST(cust AS BIGINT) AS src, CAST(part AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight FROM rows_
+UNION ALL
+SELECT CAST(part AS BIGINT) AS src, CAST(supp AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight FROM rows_
+""".strip()
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in ("region", "nation", "supplier", "customer", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def testdata_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None = None) -> Graph:
+    """The driver-testdata link graph (supplier+customer vertex space)."""
+    register_testdata_views(spark, sf_dir)
+    edges = spark.sql(TESTDATA_EDGES_SQL)
+    s = spark.table("supplier").count()
+    c = spark.table("customer").count()
+    vertices = spark.range(s + c).select(F.col("id").cast("long").alias("id"))
+    return Graph.from_edges(spark, edges, vertices=vertices, num_partitions=num_partitions)
+
+
+def testdata_tri_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None = None) -> Graph:
+    """The tripartite 3-cycle testdata graph (supplier+customer+part)."""
+    register_testdata_views(spark, sf_dir)
+    edges = spark.sql(TESTDATA_TRI_EDGES_SQL)
+    n = (
+        spark.table("supplier").count()
+        + spark.table("customer").count()
+        + spark.table("part").count()
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    return Graph.from_edges(spark, edges, vertices=vertices, num_partitions=num_partitions)

@@ -1,0 +1,38 @@
+"""Large-scale training-data pipeline operators over document/embedding
+tables — the operations a 100TB web corpus needs after link analysis:
+dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity search
+over embeddings, text statistics (language-ID heuristic, quality
+scores, token counts, fingerprints), and multimodal column plumbing.
+
+All DataFrame-native or Arrow-vectorized; no per-row Python.
+"""
+
+from olive_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from olive_spark.pipeline.similarity import brute_force_knn, cosine_scores, lsh_bucketed_knn
+from olive_spark.pipeline.textstats import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "cosine_scores",
+    "brute_force_knn",
+    "lsh_bucketed_knn",
+    "language_id",
+    "quality_score",
+    "token_stats",
+    "document_fingerprint",
+]

@@ -1,0 +1,311 @@
+"""Pregel-style superstep core on DataFrames.
+
+This is the Spark re-expression of the reference's entire compute API
+(oliver.h:56-183):
+
+- ``edgeMap``/``edgeFilter`` (gather along out-edges of the frontier,
+  reduce into per-dst accumulators — oliver.h:56-141,
+  oliverKernel.h:45-178) becomes::
+
+      msgs = frontier_state  JOIN  edges ON state.id = edges.src
+             SELECT edges.dst, gather_expr
+      acc  = msgs.groupBy(dst).agg(reduce_agg)
+
+  The groupBy's partial (map-side) aggregation is the built-in analogue
+  of the reference's per-partition accumulate + message scatter
+  (oliveKernel.h:67-106); the shuffle IS the outbox/inbox transfer
+  (messageBox.h:90-105).
+
+- ``vertexMap``/``vertexFilter`` (conditional state update + next
+  frontier — oliver.h:92-170) becomes a left join of state with acc and
+  ``when(cond, update)`` column expressions; the next frontier is the
+  set of rows where ``cond`` held.
+
+- ``vertexReduce`` (oliver.h:176-183) is a driver-side ``halt``
+  callback running one aggregate action per superstep — it doubles as
+  the superstep barrier, exactly like the reference's D2H fold.
+
+Scale design:
+- The edge table is cached hash-partitioned by ``src`` once (Graph);
+  each superstep shuffles only the narrow vertex-state table.
+- Small frontiers are broadcast (explicit ``F.broadcast`` hint) below
+  ``broadcast_threshold`` rows — the dense-frontier fast path
+  (vertexSubset.h:87-95) and the north-rule "broadcast of hub
+  frontiers".
+- Lineage is truncated every superstep via ``localCheckpoint`` (or a
+  durable parquet checkpoint through ``CheckpointStore``), otherwise
+  the logical plan grows per iteration and Catalyst analysis time
+  dominates after ~30 supersteps.
+- Skew: Tungsten partial aggregation pre-combines hub in-degree mass
+  before the shuffle; AQE skew-join splits oversized partitions on the
+  frontier-edges join (hub out-degree).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from olive_spark.graph import Graph
+
+
+def src(name: str) -> Column:
+    """Reference a source-vertex state column inside a gather expression.
+
+    Mirrors the ``srcValue`` argument of the reference gather hook
+    (oliverKernel.h:77, README.md:75-82). ``src("outdeg")`` is the
+    out-degree (oliverKernel.h:71-73).
+    """
+    return F.col(f"s.{name}")
+
+
+def edge(name: str = "weight") -> Column:
+    """Reference an edge column inside a gather expression (EdgeValue)."""
+    return F.col(f"e.{name}")
+
+
+def ACCUM() -> Column:
+    """The per-vertex accumulator column inside update/cond expressions
+    (the reference's ``AccumValue`` argument, BFS.cu:63-64). A function,
+    not a constant: classic PySpark cannot build Columns before a
+    SparkContext exists."""
+    return F.col("accum")
+
+
+@dataclass
+class PregelProgram:
+    """The four user hooks of the reference functor contract (SURVEY.md §2.5).
+
+    init:   state column name -> init expression over the vertex table
+            (may use ``F.col("id")`` and ``F.col("outdeg")``).
+    gather: Column over the joined (frontier-state ⋈ edges) row; use
+            ``src("col")`` for source state, ``edge()`` for edge weight.
+            [gather hook — e.g. rank/outdeg, PageRank.cu:53-55]
+    agg:    aggregate over the gathered column — F.sum / F.min / F.max.
+            Must be commutative+associative, like the reference's atomic
+            reduce (README.md:73). BFS's benign-race overwrite
+            (BFS.cu:52-55) is expressed deterministically as F.min.
+    update: state column name -> new-value expression over
+            (old state columns, ``ACCUM``). [update hook, BFS.cu:63-64]
+    cond:   gate Column over (old state, ``ACCUM``); rows failing it
+            keep their state and stay out of the next frontier.
+            [cond hook — e.g. level == INF, BFS.cu:66-69]
+    accum_default: value coalesced into ``accum`` for vertices that
+            received no message (the reference resets accumulators to a
+            default before each gather, oliver.h:66/127/186). When None,
+            ``cond`` is automatically ANDed with ``accum IS NOT NULL``.
+    full_frontier: True = every superstep processes all vertices
+            (PageRank's universal VertexSubset, PageRank.cu:114);
+            False = frontier-driven (BFS/SSSP/CC).
+    halt:   optional driver-side convergence check, called with the
+            updated state each superstep -> True stops the loop
+            (vertexReduce + epsilon test, PageRank.cu:126-127).
+    """
+
+    init: dict[str, Column]
+    gather: Column
+    agg: Callable[[Column], Column] | None
+    update: dict[str, Column]
+    cond: Column | None = None
+    accum_default: Any = None
+    full_frontier: bool = False
+    halt: Callable[[DataFrame, int], bool] | None = None
+    # Escape hatch for non-single-aggregate reduces (e.g. label
+    # propagation's frequency-argmax): maps the message DataFrame
+    # (id, g) -> accumulator DataFrame (id, accum). When set, `agg` is
+    # ignored. Still a pure DataFrame transformation (no driver loop).
+    agg_df: Callable[[DataFrame], DataFrame] | None = None
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame  # (id, *state_cols)
+    supersteps: int
+    metrics: list[dict] = field(default_factory=list)
+    converged: bool = True
+
+
+def _init_state(graph: Graph, program: PregelProgram) -> DataFrame:
+    """state = vertices ⋈ degrees + init columns (vertexMap init,
+    PageRank.cu:77-87 / BFS.cu:101-109)."""
+    base = graph.degrees()  # (id, outdeg) — cached
+    cols = [F.col("id"), F.col("outdeg")]
+    cols += [expr.alias(name) for name, expr in program.init.items()]
+    return base.select(*cols)
+
+
+def pregel(
+    graph: Graph,
+    program: PregelProgram,
+    max_iterations: int = 100,
+    checkpoint_store=None,
+    checkpoint_every: int = 1,
+    broadcast_threshold: int = 10_000_000,
+    collect_partition_metrics: bool = False,
+    resume: bool = False,
+) -> PregelResult:
+    """Run the superstep loop (driver-side while, PageRank.cu:122-133).
+
+    checkpoint_store: optional olive_spark.checkpoint.CheckpointStore —
+    when given, state+frontier are durably checkpointed every
+    ``checkpoint_every`` supersteps with per-partition lineage metrics
+    (north rule); otherwise lineage is truncated with localCheckpoint.
+    resume=True picks up from the store's latest committed superstep —
+    a resumed run is bit-identical to a straight run (tested).
+    """
+    spark = graph.edges.sparkSession
+    edges = graph.edges
+    state_cols = list(program.init.keys())
+
+    frontier: DataFrame | None = None
+    frontier_size = graph.vertex_count()
+    superstep = 0
+
+    resumed = False
+    if resume and checkpoint_store is not None:
+        last = checkpoint_store.latest_superstep()
+        if last is not None:
+            state, frontier = checkpoint_store.load(last)
+            superstep = last
+            if not program.full_frontier:
+                if frontier is None:
+                    raise ValueError("frontier missing from checkpoint")
+                frontier_size = frontier.count()
+                if frontier_size == 0:
+                    # run had already converged at checkpoint time
+                    return PregelResult(
+                        state=state.select("id", *[c for c in state_cols if c != "_active"]),
+                        supersteps=superstep,
+                        metrics=[],
+                        converged=True,
+                    )
+            resumed = True
+
+    if not resumed:
+        state = _init_state(graph, program)
+        state = state.repartition(graph.num_partitions, "id").localCheckpoint(eager=True)
+        # Frontier = ids active this superstep. Full-frontier programs skip
+        # materializing it (universal sparse set, vertexSubset.h:59-67).
+        if not program.full_frontier:
+            # Seed frontier: vertices whose init marks them active;
+            # convention: `_active` init column; else all vertices.
+            if "_active" in state_cols:
+                frontier = state.filter(F.col("_active")).select("id")
+                frontier = frontier.localCheckpoint(eager=True)
+                frontier_size = frontier.count()
+            else:
+                frontier = state.select("id").localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    converged = False
+
+    while superstep < max_iterations:
+        t0 = time.monotonic()
+
+        # ---- edge phase: gather + reduce --------------------------------
+        if program.full_frontier:
+            act = state
+        else:
+            act = state.join(F.broadcast(frontier) if frontier_size <= broadcast_threshold
+                             else frontier, "id", "inner")
+        j = act.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
+        msgs = j.select(F.col("e.dst").alias("id"), program.gather.alias("g"))
+        if program.agg_df is not None:
+            acc = program.agg_df(msgs)
+        else:
+            acc = msgs.groupBy("id").agg(program.agg(F.col("g")).alias("accum"))
+
+        # ---- vertex phase: conditional update ---------------------------
+        joined = state.join(acc, "id", "left")
+        accum = F.col("accum")
+        if program.accum_default is not None:
+            accum = F.coalesce(accum, F.lit(program.accum_default))
+        joined = joined.withColumn("accum", accum)
+
+        cond = program.cond
+        if cond is None:
+            cond = F.lit(True)
+        if program.accum_default is None:
+            cond = cond & F.col("accum").isNotNull()
+        joined = joined.withColumn("_upd", cond)
+
+        new_cols = [F.col("id"), F.col("outdeg")]
+        for name in state_cols:
+            expr = program.update.get(name)
+            if expr is None:
+                new_cols.append(F.col(name))
+            else:
+                new_cols.append(
+                    F.when(F.col("_upd"), expr).otherwise(F.col(name)).alias(name)
+                )
+        new_state = joined.select(*new_cols)
+        new_frontier = joined.filter(F.col("_upd")).select("id")
+
+        # ---- materialize + truncate lineage -----------------------------
+        durable = (
+            checkpoint_store is not None
+            and (superstep + 1) % checkpoint_every == 0
+        )
+        if durable:
+            # superstep+1 = the number of completed supersteps this state
+            # reflects (superstep increments just below)
+            new_state, new_frontier = checkpoint_store.checkpoint(
+                superstep + 1,
+                new_state,
+                new_frontier if not program.full_frontier else None,
+            )
+        else:
+            new_state = new_state.localCheckpoint(eager=True)
+            if not program.full_frontier:
+                new_frontier = new_frontier.localCheckpoint(eager=True)
+
+        old_state = state
+        state = new_state
+        superstep += 1
+
+        # ---- termination ------------------------------------------------
+        step_metrics = {"superstep": superstep, "ms": None, "active": None}
+        if program.full_frontier:
+            if program.halt is not None and program.halt(state, superstep):
+                converged = True
+        else:
+            frontier = new_frontier
+            frontier_size = frontier.count()
+            step_metrics["active"] = frontier_size
+            if frontier_size == 0:
+                converged = True
+            elif program.halt is not None and program.halt(state, superstep):
+                converged = True
+
+        if collect_partition_metrics:
+            step_metrics["partitions"] = [
+                r.asDict()
+                for r in state.groupBy(
+                    F.spark_partition_id().alias("partition_id")
+                ).agg(F.count("*").alias("rows")).collect()
+            ]
+        step_metrics["ms"] = (time.monotonic() - t0) * 1000.0
+        metrics.append(step_metrics)
+        if checkpoint_store is not None and durable:
+            checkpoint_store.log_superstep(step_metrics)
+
+        if converged:
+            break
+
+    result_state = state.select("id", *[c for c in state_cols if c != "_active"])
+    return PregelResult(
+        state=result_state,
+        supersteps=superstep,
+        metrics=metrics,
+        converged=converged,
+    )
+
+
+def vertex_reduce(state: DataFrame, expr: Column) -> Any:
+    """Global fold over vertex state (Oliver::vertexReduce, oliver.h:176-183)."""
+    return state.agg(expr.alias("r")).first()["r"]

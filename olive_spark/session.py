@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the link-graph engine.
+
+Local-mode defaults match the sandbox (one JVM, N threads); on a real
+cluster the same settings hold except driver memory, and AQE does the
+runtime re-planning. Everything here is standard public Spark config.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "olive_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with graph-workload defaults.
+
+    - AQE on (coalesce + skew-join): the runtime analogue of the
+      reference's GroupSize degree-balancing knob (oliverKernel.h:63-75)
+      — skewed shuffle partitions get split/coalesced adaptively.
+    - shuffle.partitions ~ cores in local mode; on a cluster size it to
+      keep post-shuffle partitions in the 64-256MB range.
+    - Arrow enabled for the pandas-UDF ingest path (no per-row Python).
+    - UTC session timezone so parquet timestamps compare cleanly with
+      the DuckDB oracle.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master.split("[")[-1].rstrip("]")
+        shuffle_partitions = 32 if n in ("*", "") else max(8, int(n))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("OLIVE_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Iterative workloads: keep shuffle files bounded.
+        .config("spark.shuffle.spill.compress", "true")
+        .config("spark.checkpoint.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

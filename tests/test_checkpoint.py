@@ -1,0 +1,83 @@
+"""Durable checkpoints: lineage metrics + resume-equals-straight-run."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from olive_spark.algorithms.pagerank import pagerank
+from olive_spark.algorithms.bfs import bfs
+from olive_spark.checkpoint import CheckpointStore
+from olive_spark.fixtures import grid_graph, chain_graph
+from olive_spark.graph import Graph
+
+
+def ranks(res):
+    return {r["id"]: r["rank"] for r in res.state.collect()}
+
+
+def test_checkpoint_and_lineage(spark, tmp_path):
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"), run_id="r1")
+    res = pagerank(g, epsilon=None, max_iterations=5, checkpoint_store=store,
+                   checkpoint_every=1)
+    assert res.supersteps == 5
+    assert store.latest_superstep() == 5
+    lin = store.lineage()
+    cols = set(lin.columns)
+    assert cols == {"run_id", "superstep", "partition_id", "rows", "bytes", "ms"}
+    # every superstep logged; row counts sum to N per superstep
+    per_step = {r["superstep"]: r["total"] for r in
+                lin.groupBy("superstep").sum("rows").withColumnRenamed("sum(rows)", "total").collect()}
+    assert set(per_step) == {1, 2, 3, 4, 5}
+    assert all(v == n for v in per_step.values())
+
+
+def test_resume_equals_straight_run(spark, tmp_path):
+    """Kill after superstep k, resume from checkpoint -> identical final
+    state (north-rule resumability; SURVEY.md §5 property test)."""
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+
+    straight = pagerank(g, epsilon=None, max_iterations=10)
+    r_straight = ranks(straight)
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt2"), run_id="r2")
+    partial = pagerank(g, epsilon=None, max_iterations=4, checkpoint_store=store)
+    assert store.latest_superstep() == 4
+
+    resumed = pagerank(g, epsilon=None, max_iterations=10, checkpoint_store=store,
+                       checkpoint_every=1, resume=True)
+    assert resumed.supersteps == 10
+    r_resumed = ranks(resumed)
+    for i in range(n):
+        assert r_straight[i] == r_resumed[i], i  # bit-identical
+
+
+def test_resume_frontier_algorithm(spark, tmp_path):
+    """Frontier state survives the checkpoint too (BFS mid-traversal)."""
+    n, e = chain_graph(12)
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+
+    straight = bfs(g, source=0)
+    exp = {r["id"]: r["level"] for r in straight.state.collect()}
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt3"), run_id="r3")
+    bfs(g, source=0, max_iterations=4, checkpoint_store=store)
+    resumed = bfs(g, source=0, checkpoint_store=store, resume=True)
+    got = {r["id"]: r["level"] for r in resumed.state.collect()}
+    assert got == exp
+    assert resumed.converged
+
+
+def test_crash_safety_marker(spark, tmp_path):
+    """A snapshot without the commit marker is invisible to resume."""
+    import os, shutil
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=2)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt4"), run_id="r4")
+    pagerank(g, epsilon=None, max_iterations=3, checkpoint_store=store)
+    assert store.latest_superstep() == 3
+    # simulate crash mid-write of superstep 4: dir exists, no marker
+    os.makedirs(store._step_dir(4) + "/state", exist_ok=True)
+    assert store.latest_superstep() == 3

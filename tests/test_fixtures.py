@@ -1,0 +1,101 @@
+"""Fixture regeneration + edge-list loader vs the reference data files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from olive_spark.fixtures import all_fixtures
+from olive_spark.graph import Graph
+
+REF_DATA = "/root/reference/data"
+
+# (fixture, expected N, expected M) — N/M from the reference file headers
+EXACT = {
+    "gridGraph_15": (15, 44),
+    "chainGraph_1K": (1000, 1998),
+    "starGraph_1K": (1000, 1998),
+    "orderedGraph_9": (9, 11),
+    "disorderedGraph_9": (9, 11),
+    "acyclicGraph_100": (100, 4950),
+    "isolatedGraph_1K": (1000, 0),
+    "singletonGraph_1": (1, 0),
+}
+
+
+def test_fixture_shapes():
+    fx = all_fixtures()
+    for name, (n, m) in EXACT.items():
+        fn, fe = fx[name]
+        assert fn == n, name
+        assert len(fe) == m, name
+    # maxflow is spirit-of, not verbatim: just sane shape
+    n, e = fx["maxflowGraph_100"]
+    assert n == 100 and 200 < len(e) < 500
+
+
+def _ref_edges(path):
+    edges = []
+    header = None
+    with open(path) as fh:
+        for raw in fh:
+            s = raw.strip()
+            if not s or s.startswith("#"):
+                continue
+            if header is None:
+                header = s.split()
+                continue
+            p = s.split()
+            edges.append((int(p[0]), int(p[1])))
+    return int(header[0]), edges
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["gridGraph_15", "orderedGraph_9", "disorderedGraph_9", "chainGraph_1K",
+     "starGraph_1K", "acyclicGraph_100"],
+)
+def test_fixture_matches_reference_file(name):
+    """Regenerated topology == the shipped reference file (as edge multisets;
+    disordered has a different line order by design, so compare sorted)."""
+    if not os.path.isdir(REF_DATA):
+        pytest.skip("reference data not present")
+    n_ref, e_ref = _ref_edges(os.path.join(REF_DATA, name))
+    n, e = all_fixtures()[name]
+    assert n == n_ref
+    assert sorted(e) == sorted(e_ref)
+
+
+def test_edge_list_file_loader(spark, tmp_path):
+    """Distributed loader parses the reference text format (csrGraph.h:87-105),
+    discarding weights (csrGraph.h:139)."""
+    src = os.path.join(REF_DATA, "gridGraph_15")
+    g = Graph.from_edge_list_file(spark, src, num_partitions=4)
+    assert g.vertex_count() == 15
+    assert g.edge_count() == 44
+    # weights forced to 1.0 even though the file has them
+    assert g.edges.select("weight").distinct().collect()[0][0] == 1.0
+    # edge multiset matches fixture
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    _, exp = all_fixtures()["gridGraph_15"]
+    assert got == sorted(exp)
+
+
+def test_isolated_vertices_have_ids(spark):
+    n, e = all_fixtures()["isolatedGraph_1K"]
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    assert g.vertex_count() == 1000
+    assert g.edge_count() == 0
+    degs = g.degrees()
+    assert degs.count() == 1000
+    assert degs.filter("outdeg != 0").count() == 0
+
+
+def test_degree_histogram(spark):
+    n, e = all_fixtures()["starGraph_1K"]
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    hist = {r["bucket"]: r["n_vertices"] for r in g.degree_histogram().collect()}
+    # hub: degree 999 -> bucket floor(log2(999))+1 = 10; spokes: degree 1 -> bucket 1
+    assert hist[1] == 999
+    assert hist[10] == 1

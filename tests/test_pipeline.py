@@ -1,0 +1,237 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_duplicates(spark):
+    from olive_spark.pipeline.dedup import exact_duplicates
+
+    docs = docs_df(spark, ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb"])
+    groups = {tuple(r["doc_ids"]): r["n_docs"] for r in exact_duplicates(docs).collect()}
+    assert groups == {(0, 2, 4): 3, (1, 5): 2}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from olive_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")  # one word changed
+    far = "completely different content about spark dataframes and shuffle partitioning at scale"
+    docs = docs_df(spark, [base, near, far, "x y z"])
+    cands = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+             for r in minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()}
+    assert (0, 1) in cands           # near-dup pair found
+    assert cands[(0, 1)] > 0.4
+    assert (0, 2) not in cands       # unrelated pair not a candidate
+    # exact jaccard agrees on direction
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert exact[(0, 1)] > 0.5
+
+
+def test_minhash_deterministic(spark):
+    from olive_spark.pipeline.dedup import minhash_signatures
+
+    docs = docs_df(spark, ["alpha beta gamma delta epsilon zeta", "alpha beta gamma delta"])
+    s1 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=8).collect()}
+    s2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=8).collect()}
+    assert s1 == s2
+
+
+def test_simhash_similarity(spark):
+    from olive_spark.pipeline.dedup import simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = docs_df(spark, [base, base.replace("dog", "cat"),
+                           "entirely unrelated words about graph engines"])
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sig[0], sig[1]) < hamming(sig[0], sig[2])
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_scores_exact(spark):
+    from olive_spark.pipeline.similarity import cosine_scores
+
+    vecs = [[1, 0, 0], [0, 1, 0], [1, 1, 0], [-1, 0, 0], [0, 0, 0]]
+    out = {r["vec_id"]: r["cosine"] for r in cosine_scores(emb_df(spark, vecs), [1.0, 0.0, 0.0]).collect()}
+    assert out[0] == 1.0
+    assert out[1] == 0.0
+    assert abs(out[2] - 1 / np.sqrt(2)) < 1e-6
+    assert out[3] == -1.0
+    assert out[4] == 0.0  # zero vector
+
+
+def test_brute_force_knn(spark):
+    from olive_spark.pipeline.similarity import brute_force_knn
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((50, 8))
+    corpus = emb_df(spark, vecs)
+    queries = emb_df(spark, vecs[:2])
+    out = brute_force_knn(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    # numpy ground truth for query 0
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cos[0] = -np.inf  # self excluded
+    top = np.argsort([(-c, i) for i, c in enumerate(cos)], axis=0)
+    expected = sorted(range(50), key=lambda i: (-round(cos[i], 6), i))[:5]
+    got = [v for _, v, _ in sorted(by_q[0])]
+    assert got == expected
+
+
+def test_lsh_knn_recall(spark):
+    from olive_spark.pipeline.similarity import brute_force_knn, lsh_bucketed_knn
+
+    rng = np.random.default_rng(7)
+    # clustered data: 4 tight clusters
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((25, 16)) * 0.3 for c in centers])
+    corpus = emb_df(spark, vecs)
+    queries = emb_df(spark, vecs[:3])
+    exact = brute_force_knn(corpus, queries, k=5).collect()
+    approx = lsh_bucketed_knn(corpus, queries, k=5, n_planes=6, n_tables=6).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+def test_token_stats(spark):
+    from olive_spark.pipeline.textstats import token_stats
+
+    docs = docs_df(spark, ["one two three", "  padded   spaces  ", "", "word"])
+    out = {r["doc_id"]: (r["n_chars"], r["n_tokens"]) for r in token_stats(docs).collect()}
+    assert out[0] == (13, 3)
+    assert out[1][1] == 2
+    assert out[2] == (0, 0)
+    assert out[3] == (4, 1)
+
+
+def test_language_id(spark):
+    from olive_spark.pipeline.textstats import language_id
+
+    docs = docs_df(spark, [
+        "the cat and the dog went to the park of wonders",
+        "der hund und die katze sind nicht der gleiche",
+        "zzz qqq xxx",
+    ])
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_quality_and_fingerprint(spark):
+    from olive_spark.pipeline.textstats import document_fingerprint, quality_score
+
+    docs = docs_df(spark, [
+        "The quick brown fox jumps over the lazy dog and keeps going. " * 10,
+        "!!! ??? ###",
+        "THE QUICK BROWN FOX",
+    ])
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[0] > q[1]  # clean prose beats punctuation soup
+    fp = document_fingerprint(docs_df(spark, ["A  b", "a b"])).collect()
+    by_id = {r["doc_id"]: r for r in fp}
+    assert by_id[0]["md5"] != by_id[1]["md5"]
+    assert by_id[0]["norm_md5"] == by_id[1]["norm_md5"]  # normalization collapses
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    from olive_spark.pipeline.multimodal import FEATURE_DIM, extract_features, synth_media
+
+    media = synth_media(spark, n=24, num_partitions=3)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    for r in feats:
+        assert feats2[r["media_id"]] == r["feature"]
+
+
+def test_multimodal_raise_stub(spark):
+    from olive_spark.pipeline.multimodal import extract_features, synth_media
+    from py4j.protocol import Py4JJavaError
+
+    media = synth_media(spark, n=4, num_partitions=1)
+    with pytest.raises(Exception):
+        extract_features(media, decode_stub="raise").collect()
+
+
+# ---------------------------------------------------------------------------
+# skew utilities
+# ---------------------------------------------------------------------------
+
+def test_salted_aggregate_matches_plain(spark):
+    from olive_spark.skew import salted_aggregate
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    plain = {r["k"]: r["v"] for r in df.groupBy("k").agg(F.sum("v").alias("v")).collect()}
+    salted = {r["k"]: r["v"] for r in salted_aggregate(df, "k", "v", F.sum, n_salt=8).collect()}
+    assert plain == salted
+
+
+def test_salted_edge_layout_preserves_results(spark):
+    from olive_spark.algorithms.pagerank import pagerank_fixed
+    from olive_spark.fixtures import star_graph
+    from olive_spark.graph import Graph
+    from olive_spark.skew import salted_edge_layout
+    import numpy as np
+    from olive_spark import oracle
+
+    n, e = star_graph(200)
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    salted = Graph(
+        vertices=g.vertices,
+        edges=salted_edge_layout(g.edges, 4, n_salt=4).cache(),
+        num_partitions=4,
+    )
+    res = pagerank_fixed(salted, iterations=8)
+    got = np.array([r["rank"] for r in res.state.orderBy("id").collect()])
+    exp = oracle.pagerank_fixed(n, e, iterations=8)
+    assert np.allclose(got, exp, atol=1e-12, rtol=1e-9)
