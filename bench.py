@@ -81,10 +81,12 @@ def main():
     g_bi = testdata_graph(spark, SF_DIR)
     bi_edges = g_bi.edge_count()  # materializes cache
     g_bi.degrees().count()
+    pagerank_fixed(g_bi, iterations=1).free()  # warmup: codegen + join paths
 
     def run_pr_tpch():
         res = pagerank_fixed(g_bi, iterations=10)
         res.state.agg(F.sum("rank")).collect()
+        res.free()
         return res
 
     timed("pagerank10_tpch", run_pr_tpch)
@@ -93,10 +95,12 @@ def main():
     g_pow = synth_power_graph(spark, POWER_EDGES, POWER_VERTS, max(8, CPUS))
     pow_edges = g_pow.edge_count()
     g_pow.degrees().count()
+    pagerank_fixed(g_pow, iterations=1).free()  # warmup
 
     def run_pr_power():
         res = pagerank_fixed(g_pow, iterations=5)
         res.state.agg(F.sum("rank")).collect()
+        res.free()
         return res
 
     timed("pagerank5_power", run_pr_power)

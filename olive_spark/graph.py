@@ -89,7 +89,17 @@ class Graph:
             ).alias("weight"),
         )
         if partition:
-            edges = edges.repartition(num_partitions, "src").cache()
+            # Hash-partition by src (the one-time edge-cut placement) AND
+            # pre-sort within partitions: the cached InMemoryRelation then
+            # carries both hashpartitioning(src) and src-ordering, so when
+            # the per-superstep state join is planned as sort-merge (state
+            # too big to broadcast), the 100TB side needs neither exchange
+            # nor sort — just the in-memory columnar scan.
+            edges = (
+                edges.repartition(num_partitions, "src")
+                .sortWithinPartitions("src")
+                .cache()
+            )
         if vertices is None:
             # Fallback when no explicit id space is given: union of endpoints.
             # NOTE: misses isolated vertices — callers with a known id space
@@ -169,6 +179,59 @@ class Graph:
         # Robust header strip: drop exactly one row matching the header pair.
         # monotonically_increasing_id()==0 identifies the first row of the
         # first partition, which for a single text file is the header line.
+        vertices = spark.range(n_vertices).select(F.col("id").cast("long").alias("id"))
+        return cls.from_edges(spark, edges, vertices=vertices, num_partitions=num_partitions)
+
+    @classmethod
+    def from_dimacs_file(
+        cls, spark: SparkSession, path: str, num_partitions: int | None = None
+    ) -> "Graph":
+        """Parse DIMACS-10/Metis adjacency format (csrGraph.h:177-236):
+        '%' comments; header 'N M'; data line i (1-based) lists the
+        neighbors of vertex i, 1-indexed. Each undirected edge appears
+        in both adjacency lists, so emitting every (i, neighbor) pair
+        doubles the edge count exactly as the reference does
+        (csrGraph.h:204-210).
+
+        Line numbers must map to vertex ids, so the text is read via a
+        zipWithIndex-style pass: fine for the fixture scale this format
+        is used at (the web-graph path is the pages table, not DIMACS).
+        """
+        with open(path) as fh:
+            header = None
+            for raw in fh:
+                s = raw.strip()
+                if s and not s.startswith("%"):
+                    header = s.split()
+                    break
+        if header is None:
+            raise ValueError(f"no header line in {path}")
+        n_vertices = int(header[0])
+
+        lines = spark.read.text(path)
+        numbered = lines.rdd.zipWithIndex().toDF(["row", "line_no"])
+        data = (
+            numbered.select(F.col("row.value").alias("value"), "line_no")
+            .filter(~F.col("value").startswith("%") & (F.trim("value") != ""))
+        )
+        # rank data lines by original order: first data line = header,
+        # line k (1-based after header) = neighbors of vertex k-1… vertex k
+        from pyspark.sql import Window
+
+        w = Window.orderBy("line_no")
+        ranked = data.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") > 1)
+        edges = (
+            ranked.select(
+                (F.col("rank") - 2).cast("long").alias("src"),
+                F.explode(F.split(F.trim("value"), r"\s+")).alias("nbr"),
+            )
+            .filter(F.col("nbr") != "")
+            .select(
+                "src",
+                (F.col("nbr").cast("long") - 1).alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
         vertices = spark.range(n_vertices).select(F.col("id").cast("long").alias("id"))
         return cls.from_edges(spark, edges, vertices=vertices, num_partitions=num_partitions)
 

@@ -129,6 +129,33 @@ class PregelResult:
     metrics: list[dict] = field(default_factory=list)
     converged: bool = True
 
+    # the raw checkpointed snapshot behind `state` (which is a projection)
+    _raw_state: DataFrame | None = None
+
+    def free(self) -> None:
+        """Release the final state snapshot's storage (call after the
+        caller has consumed/written `state`)."""
+        _free_checkpoint(self._raw_state or self.state)
+
+
+def _free_checkpoint(df: DataFrame | None) -> None:
+    """Unpersist the RDD behind a localCheckpointed DataFrame.
+
+    localCheckpoint stores partitions at MEMORY_AND_DISK and only frees
+    them when the JVM RDD is garbage-collected — in a superstep loop
+    that lags far behind allocation (observed: GC-thrash and 2-3x
+    superstep-time degradation at 32M edges). Freeing the superseded
+    snapshot explicitly keeps resident state at O(1) snapshots.
+    """
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best effort — never fail the loop over cleanup
+
 
 def _init_state(graph: Graph, program: PregelProgram) -> DataFrame:
     """state = vertices ⋈ degrees + init columns (vertexMap init,
@@ -145,7 +172,7 @@ def pregel(
     max_iterations: int = 100,
     checkpoint_store=None,
     checkpoint_every: int = 1,
-    broadcast_threshold: int = 10_000_000,
+    broadcast_threshold: int = 1_000_000,
     collect_partition_metrics: bool = False,
     resume: bool = False,
 ) -> PregelResult:
@@ -208,12 +235,24 @@ def pregel(
         t0 = time.monotonic()
 
         # ---- edge phase: gather + reduce --------------------------------
+        # Join-strategy policy (measured, see BENCH.md): the active-state
+        # side is broadcast while small (dense-frontier fast path); above
+        # the threshold it is SHUFFLE_HASH — built per-partition in
+        # parallel against the cached src-partitioned edge table, which
+        # then needs neither an exchange nor a sort. A driver-side
+        # broadcast build of multi-million-row state is serial and caps
+        # scaling (Amdahl) — never let Catalyst pick it implicitly here.
         if program.full_frontier:
             act = state
         else:
             act = state.join(F.broadcast(frontier) if frontier_size <= broadcast_threshold
-                             else frontier, "id", "inner")
-        j = act.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
+                             else frontier.hint("shuffle_hash"), "id", "inner")
+        act_hinted = (
+            F.broadcast(act)
+            if frontier_size <= broadcast_threshold
+            else act.hint("shuffle_hash")
+        )
+        j = act_hinted.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
         msgs = j.select(F.col("e.dst").alias("id"), program.gather.alias("g"))
         if program.agg_df is not None:
             acc = program.agg_df(msgs)
@@ -221,7 +260,9 @@ def pregel(
             acc = msgs.groupBy("id").agg(program.agg(F.col("g")).alias("accum"))
 
         # ---- vertex phase: conditional update ---------------------------
-        joined = state.join(acc, "id", "left")
+        # acc is at most V rows; shuffle-hash build on it avoids sorting
+        # both sides every superstep.
+        joined = state.join(acc.hint("shuffle_hash"), "id", "left")
         accum = F.col("accum")
         if program.accum_default is not None:
             accum = F.coalesce(accum, F.lit(program.accum_default))
@@ -267,6 +308,7 @@ def pregel(
         old_state = state
         state = new_state
         superstep += 1
+        _free_checkpoint(old_state)  # new state is materialized; drop old snapshot
 
         # ---- termination ------------------------------------------------
         step_metrics = {"superstep": superstep, "ms": None, "active": None}
@@ -274,7 +316,9 @@ def pregel(
             if program.halt is not None and program.halt(state, superstep):
                 converged = True
         else:
+            old_frontier = frontier
             frontier = new_frontier
+            _free_checkpoint(old_frontier)
             frontier_size = frontier.count()
             step_metrics["active"] = frontier_size
             if frontier_size == 0:
@@ -303,6 +347,7 @@ def pregel(
         supersteps=superstep,
         metrics=metrics,
         converged=converged,
+        _raw_state=state,
     )
 
 

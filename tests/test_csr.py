@@ -1,0 +1,77 @@
+"""CSR-block fast path: equivalence with the DataFrame path / oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from olive_spark import oracle
+from olive_spark.csr import build_blocks, gather_sum, pagerank_csr
+from olive_spark.fixtures import (
+    acyclic_graph,
+    grid_graph,
+    isolated_graph,
+    maxflow_graph,
+    ordered_graph_9,
+    star_graph,
+)
+from olive_spark.graph import Graph
+
+from pyspark.sql import functions as F
+
+
+@pytest.mark.parametrize(
+    "fix",
+    [grid_graph(), ordered_graph_9(), star_graph(100), acyclic_graph(25),
+     maxflow_graph(), isolated_graph(30)],
+    ids=["grid", "ordered9", "star100", "acyclic25", "maxflow", "isolated30"],
+)
+def test_pagerank_csr_matches_oracle(spark, fix):
+    n, e = fix
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    out = pagerank_csr(g, iterations=8)
+    got = np.array([r["rank"] for r in out.orderBy("id").collect()])
+    exp = oracle.pagerank_fixed(n, e, iterations=8)
+    assert len(got) == n
+    assert np.allclose(got, exp, atol=1e-12, rtol=1e-9)
+
+
+def test_blocks_shape(spark):
+    n, e = star_graph(50)
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    blocks = build_blocks(g)
+    rows = blocks.collect()
+    assert sum(r["nnz"] for r in rows) == len(e)
+    assert all(len(r["dsts"]) == 8 * r["nnz"] for r in rows)
+    # srcs unique per block, offsets monotone
+    for r in rows:
+        srcs = np.frombuffer(r["srcs"], dtype=np.int64)
+        off = np.frombuffer(r["offsets"], dtype=np.int64)
+        assert len(np.unique(srcs)) == len(srcs)
+        assert (np.diff(off) > 0).all()
+        assert off[-1] == r["nnz"]
+    blocks.unpersist()
+
+
+def test_gather_sum_equals_dataframe_gather(spark):
+    """One edge-expansion over CSR blocks == join + groupBy(dst).sum."""
+    n, e = maxflow_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    state = g.degrees().withColumn("rank", (F.col("id") + 1).cast("double"))
+    blocks = build_blocks(g)
+    got = {
+        r["id"]: r["accum"]
+        for r in gather_sum(blocks, state, "rank", g.num_partitions).collect()
+    }
+    j = state.alias("s").join(g.edges.alias("e"), F.col("s.id") == F.col("e.src"))
+    exp = {
+        r["id"]: r["accum"]
+        for r in j.select(
+            F.col("e.dst").alias("id"),
+            (F.col("s.rank") / F.col("s.outdeg")).alias("g"),
+        ).groupBy("id").agg(F.sum("g").alias("accum")).collect()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+    blocks.unpersist()
