@@ -427,3 +427,75 @@ def oracle_sql() -> dict[str, str]:
         # doc_minhash_lsh, pages_ingest_degrees: intentionally no oracle
         # (non-SQL-expressible: xxhash64 signatures / Arrow-UDF ingest)
     }
+
+
+# --- appended queries: kNN top-k with SQL oracle; simhash rows-only ---------
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(CASE WHEN list_dot_product(c.v, c.v) > 0
+                     AND list_dot_product(q.qv, q.qv) > 0
+               THEN list_dot_product(c.v, q.qv)
+                    / (SQRT(list_dot_product(c.v, c.v))
+                       * SQRT(list_dot_product(q.qv, q.qv)))
+               ELSE 0.0 END, 6) AS cos6
+  FROM c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos6 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+       CAST(ROUND(cos6 * 10000) AS BIGINT) AS cosine_e4
+FROM ranked WHERE rank <= 5
+""".strip()
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.similarity import brute_force_knn
+
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    out = brute_force_knn(emb, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4"),
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash sketches — rows-only check (xxhash64 bit math has
+    no DuckDB twin); determinism + hamming behavior pinned in pytest."""
+    from olive_spark.pipeline.dedup import simhash_signatures
+
+    register_testdata_views(spark, sf_dir)
+    return simhash_signatures(spark.table("documents"))
+
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES())
+    q["emb_knn_top5"] = _q_knn
+    q["doc_simhash"] = _q_simhash
+    return q
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES())
+    o["emb_knn_top5"] = _KNN_SQL
+    # doc_simhash: intentionally no oracle (rows-only)
+    return o

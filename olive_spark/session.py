@@ -36,6 +36,19 @@ def get_spark(
         n = master.split("[")[-1].rstrip("]")
         shuffle_partitions = 32 if n in ("*", "") else max(8, int(n))
 
+    # Shuffle scratch: in local mode every shuffle file hits
+    # spark.local.dir; on this sandbox's virtual disk that is THE
+    # non-scaling resource (measured: 2.5x superstep speedup moving it
+    # to tmpfs — BENCH.md). Real clusters put this on per-node NVMe.
+    local_dir = os.environ.get("OLIVE_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        try:
+            os.makedirs(local_dir, exist_ok=True)
+        except OSError:
+            local_dir = None
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -52,6 +65,8 @@ def get_spark(
         .config("spark.shuffle.spill.compress", "true")
         .config("spark.checkpoint.compress", "true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

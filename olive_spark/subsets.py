@@ -35,12 +35,12 @@ def subset_or(a: DataFrame, b: DataFrame) -> DataFrame:
 def subset_xor(a: DataFrame, b: DataFrame) -> DataFrame:
     """Bitmap XOR (bitmap.h:170-181)."""
     aa, bb = a.select("id"), b.select("id")
-    return aa.union(bb).exceptAll(aa.intersect(bb)).distinct()
+    return aa.union(bb).subtract(aa.intersect(bb))  # EXCEPT DISTINCT
 
 
 def subset_minus(a: DataFrame, b: DataFrame) -> DataFrame:
     """a AND NOT b (bitmap unset over a set, bitmap.h:85-97)."""
-    return a.select("id").exceptAll(b.select("id")).distinct()
+    return a.select("id").subtract(b.select("id"))
 
 
 def subset_contains(a: DataFrame, vid: int) -> bool:

@@ -49,8 +49,13 @@ from bench import synth_power_graph
 
 cpus = int(sys.argv[1]); n_edges = int(sys.argv[2]); iters = int(sys.argv[3])
 parts = 4 * cpus
+extra = {{}}
+local_dir = os.environ.get("OLIVE_SPARK_LOCAL_DIR")
+if local_dir:
+    os.makedirs(local_dir, exist_ok=True)
+    extra["spark.local.dir"] = local_dir
 spark = get_spark(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=parts)
+                  shuffle_partitions=parts, extra_conf=extra)
 g = synth_power_graph(spark, n_edges, n_edges // 8, parts)
 m = g.edge_count(); g.degrees().count()
 # warmup superstep (JIT/codegen/cache), excluded from timing
