@@ -499,3 +499,110 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["emb_knn_top5"] = _KNN_SQL
     # doc_simhash: intentionally no oracle (rows-only)
     return o
+
+
+# --- appended: weighted PageRank + weighted SSSP with SQL oracles -----------
+
+from olive_spark.ingest.resolve import (  # noqa: E402
+    TESTDATA_WEIGHTED_EDGES_SQL,
+    testdata_weighted_graph,
+)
+
+WPR_K = 5
+WSSSP_K = 6
+
+
+def _wpagerank_sql(k: int) -> str:
+    """Unrolled weighted PageRank: gather = rank * (w / wdeg(src))."""
+    ctes = [
+        f"e AS MATERIALIZED ({TESTDATA_WEIGHTED_EDGES_SQL})",
+        f"v AS MATERIALIZED ({_VERTS_BI})",
+        "nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "wd AS MATERIALIZED (SELECT src, SUM(weight) AS wdeg FROM e GROUP BY src)",
+        # pre-normalized weights, matching the Spark path exactly
+        "en AS MATERIALIZED (SELECT e.src, e.dst, e.weight / wd.wdeg AS w "
+        "FROM e JOIN wd ON e.src = wd.src)",
+        "r0 AS MATERIALIZED (SELECT id, (SELECT 1.0/n FROM nv) AS rank FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT en.dst AS id, SUM(r.rank * en.w) AS acc "
+            f"FROM en JOIN r{i-1} r ON en.src = r.id GROUP BY en.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, 0.85 * COALESCE(m{i}.acc, 0.0) "
+            f"+ 0.15 * (SELECT 1.0/n FROM nv) AS rank "
+            f"FROM v LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(rank * 1000000000) AS BIGINT) AS rank_e9 FROM r{k}"
+    )
+
+
+def _wsssp_sql(k: int, source: int) -> str:
+    """Unrolled k rounds of min-plus over double weights; unreached -> -1."""
+    ctes = [
+        f"e AS MATERIALIZED ({TESTDATA_WEIGHTED_EDGES_SQL})",
+        f"v AS MATERIALIZED ({_VERTS_BI})",
+        f"l0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} "
+        "THEN CAST(0.0 AS DOUBLE) ELSE CAST('Infinity' AS DOUBLE) END AS dist FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, MIN(l.dist + e.weight) AS md "
+            f"FROM e JOIN l{i-1} l ON e.src = l.id "
+            f"WHERE l.dist < CAST('Infinity' AS DOUBLE) GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, LEAST(p.dist, COALESCE(m{i}.md, p.dist)) AS dist "
+            f"FROM v JOIN l{i-1} p ON v.id = p.id LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CASE WHEN dist = CAST('Infinity' AS DOUBLE) THEN CAST(-1 AS BIGINT) "
+        f"ELSE CAST(ROUND(dist * 1000000) AS BIGINT) END AS dist_e6 FROM l{k}"
+    )
+
+
+def _q_wpagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.pagerank import weighted_pagerank
+
+    g = testdata_weighted_graph(spark, sf_dir)
+    res = weighted_pagerank(g, epsilon=None, max_iterations=WPR_K)
+    return res.state.select(
+        "id", F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9")
+    )
+
+
+def _q_wsssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.sssp import INF_D, sssp_weighted
+
+    g = testdata_weighted_graph(spark, sf_dir)
+    res = sssp_weighted(g, source=0, max_iterations=WSSSP_K)
+    return res.state.select(
+        "id",
+        F.when(F.col("distance") == float("inf"), F.lit(-1).cast("long"))
+        .otherwise(F.round(F.col("distance") * 1e6).cast("long"))
+        .alias("dist_e6"),
+    )
+
+
+_BASE_QUERIES2 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES2())
+    q["weighted_pagerank_k5"] = _q_wpagerank
+    q["weighted_sssp_k6"] = _q_wsssp
+    return q
+
+
+_BASE_ORACLES2 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES2())
+    o["weighted_pagerank_k5"] = _wpagerank_sql(WPR_K)
+    o["weighted_sssp_k6"] = _wsssp_sql(WSSSP_K, 0)
+    return o

@@ -51,3 +51,29 @@ def sssp(graph: Graph, source: int, unit_weights: bool = True,
     return pregel(g, program, max_iterations=max_iterations,
                   checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
                   resume=resume)
+
+
+INF_D = float("inf")
+
+
+def sssp_weighted(graph: Graph, source: int,
+                  max_iterations: int | None = None, **kwargs) -> PregelResult:
+    """SSSP over real-valued (double) edge weights — the general engine
+    path the reference's int distances (SSSP.cu:38-52) cannot express.
+    Same Bellman-Ford frontier pruning; unreached = +Infinity."""
+    if max_iterations is None:
+        max_iterations = graph.vertex_count()
+    program = PregelProgram(
+        init={
+            "distance": F.when(F.col("id") == source, F.lit(0.0))
+            .otherwise(F.lit(INF_D)).cast("double"),
+            "_active": F.col("id") == source,
+        },
+        gather=src("distance") + edge("weight"),
+        agg=F.min,
+        update={"distance": ACCUM()},
+        cond=F.col("distance") > ACCUM(),
+        accum_default=None,
+        full_frontier=False,
+    )
+    return pregel(graph, program, max_iterations=max_iterations, **kwargs)

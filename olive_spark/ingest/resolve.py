@@ -98,6 +98,17 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 """.strip()
 
 
+# Weighted variant of the bipartite graph: weight = l_quantity (real-valued,
+# 1..50) — exercises weighted PageRank / weighted SSSP against the oracle.
+TESTDATA_WEIGHTED_EDGES_SQL = """
+SELECT CAST(l.l_suppkey AS BIGINT) AS src,
+       CAST((SELECT COUNT(*) FROM supplier) + o.o_custkey AS BIGINT) AS dst,
+       CAST(l.l_quantity AS DOUBLE) AS weight
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+""".strip()
+
+
 # Second derived graph with rich connectivity and triangles: a tripartite
 # 3-cycle multigraph — every lineitem row (via its order) emits
 # supplier->customer, customer->part, part->supplier. Id spaces:
@@ -136,6 +147,17 @@ def testdata_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None 
     """The driver-testdata link graph (supplier+customer vertex space)."""
     register_testdata_views(spark, sf_dir)
     edges = spark.sql(TESTDATA_EDGES_SQL)
+    s = spark.table("supplier").count()
+    c = spark.table("customer").count()
+    vertices = spark.range(s + c).select(F.col("id").cast("long").alias("id"))
+    return Graph.from_edges(spark, edges, vertices=vertices, num_partitions=num_partitions)
+
+
+def testdata_weighted_graph(spark: SparkSession, sf_dir: str,
+                            num_partitions: int | None = None) -> Graph:
+    """Bipartite testdata graph with l_quantity edge weights."""
+    register_testdata_views(spark, sf_dir)
+    edges = spark.sql(TESTDATA_WEIGHTED_EDGES_SQL)
     s = spark.table("supplier").count()
     c = spark.table("customer").count()
     vertices = spark.range(s + c).select(F.col("id").cast("long").alias("id"))

@@ -198,3 +198,39 @@ def triangles(n: int, edges: list[tuple]) -> tuple[np.ndarray, int]:
                 per[c] += 1
                 total += 1
     return per, total
+
+
+def weighted_pagerank_fixed(
+    n: int, edges: list[tuple], iterations: int, damping: float = 0.85
+) -> np.ndarray:
+    """Weighted PageRank, fixed rounds: gather = rank * w / wdeg(src)."""
+    src = np.asarray([e[0] for e in edges], dtype=np.int64)
+    dst = np.asarray([e[1] for e in edges], dtype=np.int64)
+    w = np.asarray([float(e[2]) if len(e) > 2 else 1.0 for e in edges])
+    wdeg = np.zeros(n)
+    if len(src):
+        np.add.at(wdeg, src, w)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        if len(src):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                np.add.at(contrib, dst, rank[src] * (w / wdeg[src]))
+        rank = damping * contrib + (1.0 - damping) / n
+    return rank
+
+
+def sssp_weighted(n: int, edges: list[tuple], source: int) -> np.ndarray:
+    """Bellman-Ford over double weights; unreached = inf."""
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    es = [(e[0], e[1], float(e[2]) if len(e) > 2 else 1.0) for e in edges]
+    for _ in range(n):
+        changed = False
+        for u, v, w in es:
+            if dist[u] + w < dist[v]:
+                dist[v] = dist[u] + w
+                changed = True
+        if not changed:
+            break
+    return dist

@@ -82,3 +82,36 @@ def test_bfs_unreachable_is_inf(spark):
     g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=2)
     got = vec(bfs(g, source=0), "level", n)
     assert got[2] == INF32 and got[3] == INF32
+
+
+def test_weighted_pagerank_and_sssp(spark):
+    """Weighted variants vs numpy oracles on a small weighted digraph."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from olive_spark import oracle
+    from olive_spark.algorithms.pagerank import weighted_pagerank
+    from olive_spark.algorithms.sssp import sssp_weighted
+
+    rows = [(0, 1, 2.5), (0, 2, 7.5), (1, 2, 1.0), (2, 3, 0.5),
+            (3, 0, 4.0), (1, 3, 10.0), (0, 1, 2.5)]  # duplicate kept
+    schema = T.StructType([
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("weight", T.DoubleType()),
+    ])
+    edges = spark.createDataFrame(rows, schema)
+    g = Graph.from_edges(spark, edges, vertices=spark.range(5).selectExpr("id"),
+                         num_partitions=2)
+
+    res = weighted_pagerank(g, epsilon=None, max_iterations=8)
+    got = vec(res, "rank", 5)
+    exp = oracle.weighted_pagerank_fixed(5, rows, iterations=8)
+    assert np.allclose(got, exp, atol=1e-12, rtol=1e-9)
+
+    res = sssp_weighted(g, source=0)
+    got = vec(res, "distance", 5)
+    exp = oracle.sssp_weighted(5, rows, 0)
+    finite = np.isfinite(exp)
+    assert np.allclose(got[finite], exp[finite])
+    assert np.isinf(got[~finite]).all()
