@@ -606,3 +606,67 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["weighted_pagerank_k5"] = _wpagerank_sql(WPR_K)
     o["weighted_sssp_k6"] = _wsssp_sql(WSSSP_K, 0)
     return o
+
+
+# --- appended: exact n-gram Jaccard near-dup pairs with SQL oracle ----------
+
+_JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(words) - 3, 0) + 2),
+                          i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+  FROM w
+),
+shf AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE), 6) AS jac
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, CAST(ROUND(jac * 1000000) AS BIGINT) AS jaccard_e6
+FROM j WHERE jac >= 0.5
+""".strip()
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    register_testdata_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    return out.select(
+        "doc_a", "doc_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+    )
+
+
+_BASE_QUERIES3 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES3())
+    q["doc_ngram_jaccard"] = _q_jaccard
+    return q
+
+
+_BASE_ORACLES3 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES3())
+    o["doc_ngram_jaccard"] = _JACCARD_SQL
+    return o

@@ -25,16 +25,50 @@ from olive_spark.graph import Graph
 from olive_spark.ingest.extract import extract_links_df
 
 
-def assign_ids(urls: DataFrame, method: str = "sort") -> DataFrame:
-    """urls(url) -> vertices(id, url). ``urls`` must be distinct."""
+def assign_ids(urls: DataFrame, method: str = "sort", num_partitions: int | None = None) -> DataFrame:
+    """urls(url) -> vertices(id, url). ``urls`` must be distinct.
+
+    - ``hash``: id = xxhash64(url), shuffle-free (the 10^12-doc path).
+    - ``sort``: id = global lexicographic rank, dense 0..N-1, computed
+      scalably: range-partition by url, count per partition (one small
+      collect of P longs), then per-partition local rank + broadcast
+      offset — no single-partition window, O(N log N) distributed sort.
+    """
     if method == "hash":
         return urls.select(F.xxhash64("url").alias("id"), "url")
     if method == "sort":
-        # row_number over a global order: Spark plans a range-partitioned
-        # sort, but the window without PARTITION BY runs single-partition —
-        # acceptable for the deterministic test path only (see module doc).
-        w = Window.orderBy("url")
-        return urls.select((F.row_number().over(w) - 1).cast("long").alias("id"), "url")
+        spark = urls.sparkSession
+        if num_partitions is None:
+            num_partitions = spark.sparkContext.defaultParallelism
+        parted = urls.repartitionByRange(num_partitions, "url").sortWithinPartitions("url")
+        # cache so the count pass and the ranking pass see the SAME range
+        # boundaries (RangePartitioner samples its bounds)
+        with_pid = parted.withColumn("_pid", F.spark_partition_id()).cache()
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        boffsets = spark.sparkContext.broadcast(offsets)
+
+        def rank_partition(batches):
+            import pandas as pd
+
+            local = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                base = boffsets.value.get(int(pdf["_pid"].iloc[0]), 0)
+                ids = range(base + local, base + local + len(pdf))
+                local += len(pdf)
+                yield pd.DataFrame({"id": list(ids), "url": pdf["url"]})
+
+        out = with_pid.mapInPandas(rank_partition, schema="id long, url string")
+        return out
     raise ValueError(method)
 
 
