@@ -14,7 +14,12 @@ from olive_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from olive_spark.pipeline.similarity import brute_force_knn, cosine_scores, lsh_bucketed_knn
+from olive_spark.pipeline.similarity import (
+    brute_force_knn,
+    cosine_scores,
+    ivf_knn,
+    lsh_bucketed_knn,
+)
 from olive_spark.pipeline.textstats import (
     document_fingerprint,
     language_id,
@@ -31,6 +36,7 @@ __all__ = [
     "cosine_scores",
     "brute_force_knn",
     "lsh_bucketed_knn",
+    "ivf_knn",
     "language_id",
     "quality_score",
     "token_stats",

@@ -147,3 +147,125 @@ def lsh_bucketed_knn(
     scored = cand.select("query_id", "vec_id", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: kmeans coarse quantizer + probed search.
+# The second scale path besides hyperplane LSH. Deterministic: centroids
+# are seeded from hashed sample rows, Lloyd iterations are fixed-count.
+# ---------------------------------------------------------------------------
+
+def _to_matrix(df: DataFrame, id_col: str, vec_col: str):
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, mat
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini-kmeans on a deterministic sample (driver-side numpy Lloyd —
+    centroids are tiny; the expensive assignment step for the FULL
+    corpus runs distributed in `ivf_assign`). Sampling is hash-ordered
+    (xxhash64 of id), not random, so results are reproducible."""
+    s = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col) + seed), F.lit(1_000_003)))
+        .limit(sample)
+    )
+    _, mat = _to_matrix(s, id_col, vec_col)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    k = min(n_lists, len(mat))
+    centroids = mat[:k].copy()
+    for _ in range(iters):
+        sims = mat @ centroids.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                centroids[j] = c / (n if n > 0 else 1.0)
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top: int = 1,
+) -> DataFrame:
+    """(vec_id, list_id[, probe_rank]) — nearest centroid(s) per vector,
+    computed with built-in expressions (one dot product per centroid;
+    centroids ship as plan literals — fine for <=256 lists)."""
+    v = F.col(vec_col).cast("array<double>")
+    scored = [
+        F.struct(
+            _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+            F.lit(j).alias("list_id"),
+        )
+        for j, c in enumerate(centroids)
+    ]
+    arr = F.array_sort(
+        F.array(*scored),
+        lambda a, b: F.when(a["sim"] > b["sim"], -1).when(a["sim"] < b["sim"], 1)
+        .otherwise(a["list_id"] - b["list_id"]),
+    )
+    out = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.slice(arr, 1, top).alias("probes"),
+    ).select(
+        "vec_id",
+        F.posexplode("probes").alias("probe_rank", "p"),
+    ).select("vec_id", F.col("p.list_id").alias("list_id"), "probe_rank")
+    return out
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search: corpus rows land in their nearest list; each query
+    probes its `n_probe` nearest lists; exact cosine re-rank on the
+    candidates. At 10^9+ vectors the bucket join scans ~n_probe/n_lists
+    of the corpus per query instead of all of it."""
+    from pyspark.sql import Window
+
+    centroids = train_ivf_centroids(
+        embeddings, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    corpus_lists = ivf_assign(embeddings, centroids, id_col, vec_col, top=1)
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(corpus_lists.select("vec_id", "list_id"), "vec_id")
+
+    query_lists = ivf_assign(queries, centroids, id_col, vec_col, top=n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).join(
+        query_lists.select(F.col("vec_id").alias("query_id"), "list_id"), "query_id"
+    )
+
+    cand = c.join(F.broadcast(q), "list_id").filter(F.col("vec_id") != F.col("query_id"))
+    denom = _norm(F.col("v")) * _norm(F.col("qv"))
+    cos = F.when(denom > 0, _dot(F.col("v"), F.col("qv")) / denom).otherwise(F.lit(0.0))
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cos, 6).alias("cosine")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--epsilon", type=float, default=1e-7)
     p.add_argument("--id-method", choices=["sort", "hash"], default="hash")
+    p.add_argument("--variant", choices=["default", "stars"], default="default",
+                   help="cc: stars = O(log n) large/small-star contraction")
     return p
 
 
@@ -86,10 +88,17 @@ def main(argv=None):
                        max_iterations=args.iterations or 100, **kw)
         out, meta = res.state, {"supersteps": res.supersteps, "converged": res.converged}
     elif args.app == "cc":
-        from olive_spark.algorithms.cc import connected_components
+        if args.variant == "stars":
+            from olive_spark.algorithms.cc import connected_components_stars
 
-        res = connected_components(graph, max_iterations=args.iterations, **kw)
-        out, meta = res.state, {"supersteps": res.supersteps, "converged": res.converged}
+            out = connected_components_stars(graph)
+            meta = {"variant": "stars"}
+        else:
+            from olive_spark.algorithms.cc import connected_components
+
+            res = connected_components(graph, max_iterations=args.iterations, **kw)
+            out, meta = res.state, {"supersteps": res.supersteps,
+                                    "converged": res.converged}
     elif args.app == "labelprop":
         from olive_spark.algorithms.labelprop import label_propagation
 

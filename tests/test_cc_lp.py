@@ -80,3 +80,29 @@ def test_label_propagation(spark, name, fix, iters):
     got = vec(res, "label", n)
     exp = oracle.label_propagation(n, e, iters)
     assert (got == exp).all()
+
+
+@pytest.mark.parametrize("name,fix", CASES, ids=[c[0] + "_stars" for c in CASES])
+def test_cc_stars(spark, name, fix):
+    """Alternating-star contraction CC == union-find oracle (O(log n)
+    rounds; covers the high-diameter regime min-label cannot)."""
+    from olive_spark.algorithms.cc import connected_components_stars
+
+    n, e = fix
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    out = connected_components_stars(g)
+    got = np.array([r["component"] for r in out.orderBy("id").collect()])
+    exp = oracle.connected_components(n, e)
+    assert (got == exp).all()
+
+
+def test_cc_stars_long_chain(spark):
+    """1000-vertex chain: diameter 999, star contraction converges in
+    O(log n) rounds (frontier min-label would need 1000 supersteps)."""
+    from olive_spark.algorithms.cc import connected_components_stars
+    from olive_spark.fixtures import chain_graph
+
+    n, e = chain_graph(1000)
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    out = connected_components_stars(g)
+    assert out.filter("component != 0").count() == 0  # single component, min id 0

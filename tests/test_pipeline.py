@@ -235,3 +235,32 @@ def test_salted_edge_layout_preserves_results(spark):
     got = np.array([r["rank"] for r in res.state.orderBy("id").collect()])
     exp = oracle.pagerank_fixed(n, e, iterations=8)
     assert np.allclose(got, exp, atol=1e-12, rtol=1e-9)
+
+
+def test_ivf_knn_recall(spark):
+    """IVF (kmeans lists + probes) recall vs brute force on clustered data."""
+    from olive_spark.pipeline.similarity import brute_force_knn, ivf_knn
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((25, 16)) * 0.3 for c in centers])
+    corpus = emb_df(spark, vecs)
+    queries = emb_df(spark, vecs[:3])
+    exact = brute_force_knn(corpus, queries, k=5).collect()
+    approx = ivf_knn(corpus, queries, k=5, n_lists=8, n_probe=3).collect()
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_deterministic(spark):
+    from olive_spark.pipeline.similarity import train_ivf_centroids
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 8))
+    emb = emb_df(spark, vecs)
+    c1 = train_ivf_centroids(emb, n_lists=4)
+    c2 = train_ivf_centroids(emb, n_lists=4)
+    assert np.array_equal(c1, c2)
