@@ -24,7 +24,12 @@ round(rank*1e9) BIGINTs to keep value-hashes float-noise-free.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# importable regardless of the caller's CWD / sys.path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
