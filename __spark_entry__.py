@@ -325,8 +325,7 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata_views(spark, sf_dir)
     docs = spark.table("documents")
     return exact_duplicates(docs).select(
-        "md5", "n_docs",
-        F.array_min("doc_ids").cast("long").alias("min_doc_id"),
+        "md5", "n_docs", F.col("min_doc_id").cast("long").alias("min_doc_id")
     )
 
 
@@ -362,14 +361,21 @@ def _q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates — no SQL oracle (xxhash64 not in DuckDB);
-    driver records the weaker rows-only check; pytest holds the
-    ground-truth comparison vs exact jaccard."""
-    from olive_spark.pipeline.dedup import minhash_lsh_candidates
+    """LSH-pruned, exactly-verified near-dup pairs. The LSH candidate
+    step uses xxhash64 minhashes (no DuckDB twin), but the OUTPUT is
+    exact Jaccard over the candidates, so the oracle is the exact
+    all-pairs Jaccard SQL (_JACCARD_SQL): equality == LSH recall is 1
+    on every pair with true J >= 0.5 (verified here and in pytest;
+    banding 16 bands x 2 rows of 32 hashes)."""
+    from olive_spark.pipeline.dedup import minhash_near_duplicates
 
     register_testdata_views(spark, sf_dir)
     docs = spark.table("documents")
-    return minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    out = minhash_near_duplicates(docs, threshold=0.5, num_hashes=32, bands=16)
+    return out.select(
+        "doc_a", "doc_b",
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+    )
 
 
 def _q_pages_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,8 +435,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": _TOKEN_STATS_SQL,
         "doc_lang_markers": _LANG_MARKER_SQL,
         "emb_cosine_scores": _COSINE_SQL,
-        # doc_minhash_lsh, pages_ingest_degrees: intentionally no oracle
-        # (non-SQL-expressible: xxhash64 signatures / Arrow-UDF ingest)
+        # doc_minhash_lsh / doc_simhash / pages_ingest_degrees oracles are
+        # added in the final append block below (r2: every query oracled).
     }
 
 
@@ -674,4 +680,102 @@ _BASE_ORACLES3 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = dict(_BASE_ORACLES3())
     o["doc_ngram_jaccard"] = _JACCARD_SQL
+    return o
+
+
+# --- appended (r2): oracles for every remaining query + IVF kNN -------------
+#
+# doc_simhash: the sketch hash is md5-based (dedup.SIMHASH_BITS = 60 bits
+# from the first 15 hex chars), so DuckDB reproduces it bit-for-bit.
+# doc_minhash_lsh: output = exactly-verified near-dup pairs, so the exact
+# all-pairs Jaccard SQL is the oracle (equality <=> LSH recall 1 at J>=0.5).
+# pages_ingest_degrees: the synthesized page fixture encodes the
+# bidirectional 100-vertex chain, whose degree table is closed-form.
+# emb_ivf_top5: IVF with n_probe = n_lists probes every list ==
+# exhaustive search == the brute-force kNN oracle (_KNN_SQL).
+
+def _simhash_sql() -> str:
+    from olive_spark.pipeline.dedup import SIMHASH_BITS
+
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sketch = "\n     + ".join(
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(words) - 2, 0) + 2),
+                          i -> array_to_string(words[i:i+1], ' ')))) AS shingle
+  FROM w
+),
+shf AS (SELECT doc_id, shingle FROM sh WHERE length(shingle) > 0),
+hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM shf),
+bits AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id)
+SELECT doc_id, {sketch} AS simhash
+FROM bits
+""".strip()
+
+
+# The page fixture realizes the bidirectional 100-vertex chain; vertex ids
+# are the lexicographic rank of the page urls (assign_ids method="sort"),
+# and url_of() spreads pages over 97 hosts — the oracle rebuilds the exact
+# same urls and ranks them, then maps the closed-form chain degrees
+# (ends = 1, middle = 2) through that permutation.
+_PAGES_DEGREES_SQL = """
+WITH p AS (
+  SELECT r.range AS i,
+         'https://site' || CAST(r.range % 97 AS VARCHAR)
+           || '.example/p' || lpad(CAST(r.range AS VARCHAR), 8, '0') AS url
+  FROM range(100) r
+),
+ids AS (SELECT i, ROW_NUMBER() OVER (ORDER BY url) - 1 AS id FROM p)
+SELECT CAST(ids.id AS BIGINT) AS id,
+       CAST(CASE WHEN ids.i = 0 OR ids.i = 99 THEN 1 ELSE 2 END AS BIGINT) AS outdeg
+FROM ids
+""".strip()
+
+
+def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.similarity import ivf_knn
+
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    out = ivf_knn(emb, queries_df, k=5, n_lists=8, n_probe=8)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4"),
+    )
+
+
+_BASE_QUERIES4 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES4())
+    q["emb_ivf_top5"] = _q_ivf
+    return q
+
+
+_BASE_ORACLES4 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES4())
+    o["doc_simhash"] = _simhash_sql()
+    o["doc_minhash_lsh"] = _JACCARD_SQL
+    o["pages_ingest_degrees"] = _PAGES_DEGREES_SQL
+    o["emb_ivf_top5"] = _KNN_SQL
     return o

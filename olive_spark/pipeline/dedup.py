@@ -45,17 +45,50 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (md5, n_docs, doc_ids).
+    """Groups of byte-identical documents: (md5, n_docs, min_doc_id).
 
-    doc_ids sorted for determinism; only groups with >1 member.
+    Output is BOUNDED per group — count + representative id only. At
+    web scale a single hot hash (empty docs, boilerplate pages) can
+    have 10^8 members; an unbounded collect_list would materialize
+    them all in one aggregation-buffer row. Callers that need member
+    ids use ``exact_duplicate_examples`` (capped) instead.
+    Only groups with >1 member are returned.
     """
     return (
         docs.groupBy(F.md5(F.col(text_col)).alias("md5"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("min_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_duplicate_examples(
+    docs: DataFrame, text_col: str = "text", max_examples: int = 20
+) -> DataFrame:
+    """(md5, n_docs, example_ids) with at most ``max_examples`` member
+    ids per group (the smallest ids, deterministic).
+
+    The cap is applied BEFORE the collect: a per-group row_number
+    window keeps ≤ max_examples rows per hash, so the aggregation
+    buffer is bounded even for a 10^8-member duplicate group.
+    """
+    from pyspark.sql import Window
+
+    hashed = docs.select(F.md5(F.col(text_col)).alias("md5"), "doc_id")
+    counts = hashed.groupBy("md5").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("md5").orderBy("doc_id")
+    capped = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_examples)
+        .groupBy("md5")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("example_ids"))
+    )
+    return (
+        counts.filter(F.col("n_docs") > 1)
+        .join(capped, "md5")
+        .select("md5", "n_docs", "example_ids")
     )
 
 
@@ -85,6 +118,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: (doc_a, doc_b, est_jaccard).
 
@@ -92,6 +126,13 @@ def minhash_lsh_candidates(
     hash-slice matches exactly. est_jaccard = fraction of matching
     minhashes (computed on the two full signatures after the bucket
     join — only for candidate pairs).
+
+    max_bucket_size caps the self-join: a (band, bucket) with more than
+    this many members is excluded from THAT band's join (a degenerate
+    bucket — empty docs, boilerplate — would go quadratic: 10^6 members
+    = 10^12 pairs). A pair lost to one capped band still surfaces
+    through any other band it shares; truly identical docs are better
+    served by ``exact_duplicates`` anyway, which is O(n). None = no cap.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -120,6 +161,15 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if max_bucket_size is not None:
+        bucket_sizes = banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        banded = (
+            banded.join(bucket_sizes, ["band", "bucket"])
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.select(
         F.col("band"), F.col("bucket"),
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
@@ -151,28 +201,91 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Verified near-dup pairs: LSH candidates -> EXACT Jaccard on the
+    candidate set only -> filter >= threshold. (doc_a, doc_b, jaccard).
+
+    This is the production dedup contract: LSH prunes the pair space
+    (no all-pairs join), exact shingle Jaccard — computed only for
+    candidate pairs via two semi-joins against the shingle table —
+    removes false positives, so the output contains no LSH
+    approximation. With banding tuned so P(collide | J >= threshold)
+    ~ 1 (default 16 bands x 2 rows: 0.99 at J = 0.5, > 0.9999 at
+    J >= 0.7), the result equals the exact all-pairs answer; any miss
+    is a (quantified, tunable) recall gap on borderline pairs only.
+    """
+    cands = minhash_lsh_candidates(
+        docs, text_col, num_hashes, bands, shingle_k, max_bucket_size
+    ).select("doc_a", "doc_b")
+    sh = shingles(docs, text_col, k=shingle_k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 60
+
+
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", shingle_k: int = 2
 ) -> DataFrame:
-    """(doc_id, simhash: long) — 64-bit sign-sum sketch.
+    """(doc_id, simhash: long) — 60-bit sign-sum sketch.
 
-    bit_j(doc) = 1 if sum over shingles of sign(bit_j(xxhash64(s)))
-    is positive. Expressed as explode + 64 conditional sums + bit
-    reassembly, all built-ins.
+    bit_j(doc) = 1 if sum over shingles of sign(bit_j(h(s))) is
+    positive, where h(s) = the first 15 hex chars of md5(s) as an
+    integer (60 bits). md5 instead of xxhash64 so the sketch is
+    engine-independent — any SQL engine with md5 (DuckDB, Trino,
+    Spark) computes bit-identical sketches, which is what makes the
+    contract oracle possible. Expressed as explode + 60 conditional
+    sums + bit reassembly, all built-ins, one groupBy pass.
     """
     sh = shingles(docs, text_col, k=shingle_k)
-    h = F.xxhash64("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    h = F.col("h")
     sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
-    agg = sh.groupBy("doc_id").agg(*sums)
+    agg = hashed.groupBy("doc_id").agg(*sums)
     bit_terms = [
         F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         * F.lit(1 << i).cast("long")
-        for i in range(63)  # keep sign bit clear: 63-bit sketch in a long
+        for i in range(SIMHASH_BITS)
     ]
     sketch = bit_terms[0]
     for t in bit_terms[1:]:
@@ -185,6 +298,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all co-shingled pairs:
     (doc_a, doc_b, jaccard >= threshold).
@@ -193,11 +307,26 @@ def ngram_jaccard_pairs(
     least one shingle ever meet — no full cross product), |A∪B| from
     per-doc shingle counts. Quadratic in the worst case — the exact
     verifier behind LSH, or standalone at small scale.
+
+    max_shingle_df (document-frequency cap): shingles appearing in more
+    than this many docs are dropped from the INVERTED INDEX before the
+    self-join (standard df-cap — a boilerplate shingle shared by 10^7
+    pages contributes 10^14 join rows while carrying ~no similarity
+    signal). Per-doc sizes keep counting capped shingles, so for pairs
+    whose intersection contains no capped shingle the result stays
+    exact; pairs connected ONLY through boilerplate are deliberately
+    suppressed. None = exact everywhere (the oracle-parity setting).
     """
     sh = shingles(docs, text_col, k=shingle_k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    idx = sh
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        idx = (
+            sh.join(df_counts.filter(F.col("_df") <= max_shingle_df), "shingle")
+        ).select("doc_id", "shingle")
+    a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
