@@ -12,8 +12,9 @@
 Scale: full-frontier program — every superstep is
 state ⋈ edges (edges cached, pre-partitioned by src; only the narrow
 (id, rank) side shuffles) → groupBy(dst).sum (map-side partial agg
-pre-combines hub in-degree mass) → withColumn update → one agg action
-for the convergence err (the superstep barrier, as in oliver.h:176-183).
+pre-combines hub in-degree mass) → withColumn update → ONE action that
+both materializes the snapshot and folds the convergence err (the
+superstep barrier + vertexReduce, oliver.h:176-183, fused).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from olive_spark.graph import Graph
-from olive_spark.pregel import ACCUM, PregelProgram, PregelResult, pregel, src, vertex_reduce
+from olive_spark.pregel import ACCUM, PregelProgram, PregelResult, pregel, src
 
 
 def pagerank(
@@ -37,10 +38,6 @@ def pagerank(
     one_over_n = 1.0 / n
     add_constant = (1.0 - damping) * one_over_n
 
-    def halt(state, superstep):
-        err = vertex_reduce(state, F.sum(F.abs(F.col("delta"))))
-        return err is not None and err < epsilon
-
     program = PregelProgram(
         init={"rank": F.lit(one_over_n), "delta": F.lit(one_over_n)},
         gather=src("rank") / src("outdeg"),
@@ -52,7 +49,15 @@ def pagerank(
         cond=None,
         accum_default=0.0,  # vertices with no in-edges gather 0 (oliver.h:127)
         full_frontier=True,
-        halt=halt if epsilon is not None else None,
+        # err = sum|delta| < eps, evaluated inside the superstep barrier
+        # action (zero extra jobs) — the reference's vertexReduce fold
+        # (PageRank.cu:126-127).
+        halt_agg=F.sum(F.abs(F.col("delta"))) if epsilon is not None else None,
+        halt_pred=(
+            (lambda err, _step: err is not None and err < epsilon)
+            if epsilon is not None
+            else None
+        ),
     )
     return pregel(
         graph,
@@ -103,12 +108,6 @@ def weighted_pagerank(
     one_over_n = 1.0 / n
     add_constant = (1.0 - damping) * one_over_n
 
-    def halt(state, superstep):
-        from olive_spark.pregel import vertex_reduce
-
-        err = vertex_reduce(state, F.sum(F.abs(F.col("delta"))))
-        return err is not None and err < epsilon
-
     from olive_spark.pregel import edge
 
     program = PregelProgram(
@@ -122,7 +121,12 @@ def weighted_pagerank(
         cond=None,
         accum_default=0.0,
         full_frontier=True,
-        halt=halt if epsilon is not None else None,
+        halt_agg=F.sum(F.abs(F.col("delta"))) if epsilon is not None else None,
+        halt_pred=(
+            (lambda err, _step: err is not None and err < epsilon)
+            if epsilon is not None
+            else None
+        ),
     )
     res = pregel(g, program, max_iterations=max_iterations, **kwargs)
     g.unpersist()

@@ -34,8 +34,9 @@ def sssp(graph: Graph, source: int, unit_weights: bool = True,
         )
     else:
         g = graph
+    bound = graph.vertex_count()
     if max_iterations is None:
-        max_iterations = graph.vertex_count()  # negative-cycle break
+        max_iterations = bound  # negative-cycle break (SSSP.cu:153-157)
     program = PregelProgram(
         init={
             "distance": F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(INF32)).cast("long"),
@@ -48,9 +49,13 @@ def sssp(graph: Graph, source: int, unit_weights: bool = True,
         accum_default=None,
         full_frontier=False,
     )
-    return pregel(g, program, max_iterations=max_iterations,
-                  checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
-                  resume=resume)
+    res = pregel(g, program, max_iterations=max_iterations,
+                 checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
+                 resume=resume)
+    # still-relaxing after |V| rounds == a negative cycle is reachable
+    # (distinct from "stopped early by a caller-chosen iteration cap")
+    res.negative_cycle_suspected = (not res.converged) and max_iterations >= bound
+    return res
 
 
 INF_D = float("inf")
@@ -60,9 +65,12 @@ def sssp_weighted(graph: Graph, source: int,
                   max_iterations: int | None = None, **kwargs) -> PregelResult:
     """SSSP over real-valued (double) edge weights — the general engine
     path the reference's int distances (SSSP.cu:38-52) cannot express.
-    Same Bellman-Ford frontier pruning; unreached = +Infinity."""
+    Same Bellman-Ford frontier pruning; unreached = +Infinity.
+    ``negative_cycle_suspected`` is set when the frontier is still
+    non-empty after |V| rounds (only possible with negative weights)."""
+    bound = graph.vertex_count()
     if max_iterations is None:
-        max_iterations = graph.vertex_count()
+        max_iterations = bound
     program = PregelProgram(
         init={
             "distance": F.when(F.col("id") == source, F.lit(0.0))
@@ -76,4 +84,6 @@ def sssp_weighted(graph: Graph, source: int,
         accum_default=None,
         full_frontier=False,
     )
-    return pregel(graph, program, max_iterations=max_iterations, **kwargs)
+    res = pregel(graph, program, max_iterations=max_iterations, **kwargs)
+    res.negative_cycle_suspected = (not res.converged) and max_iterations >= bound
+    return res

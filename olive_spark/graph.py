@@ -148,7 +148,19 @@ class Graph:
         then 'src dst [weight]' per line. Weight discarded (csrGraph.h:139).
         Unlike the reference loader, this is order-independent — it does
         not assume src-sorted input (csrGraph.h:149-160 does).
+
+        Single-file inputs only (matching the reference's fopen of one
+        path): a directory or glob would smuggle the extra files'
+        headers in as edges, so reject them loudly.
         """
+        import glob as _glob
+        import os as _os
+
+        if _os.path.isdir(path) or len(_glob.glob(path)) > 1:
+            raise ValueError(
+                f"from_edge_list_file requires a single file, got {path!r}; "
+                "concatenate or load per-file and union"
+            )
         lines = spark.read.text(path).filter(
             ~F.col("value").startswith("#") & (F.trim("value") != "")
         )
@@ -193,10 +205,18 @@ class Graph:
         doubles the edge count exactly as the reference does
         (csrGraph.h:204-210).
 
-        Line numbers must map to vertex ids, so the text is read via a
-        zipWithIndex-style pass: fine for the fixture scale this format
-        is used at (the web-graph path is the pages table, not DIMACS).
+        Blank data lines are KEPT: an empty adjacency line is a
+        degree-0 vertex and must consume a vertex id (the reference
+        advances its vertex counter on every newline, csrGraph.h:203-206);
+        dropping it would silently mis-number every later vertex.
+
+        Line-number -> vertex-id ranking is distributed: zipWithIndex for
+        global line order, then range-partition by line number + local
+        rank + broadcast per-partition offsets (the same technique as
+        ingest.resolve.assign_ids) — no single-partition global window.
         """
+        if num_partitions is None:
+            num_partitions = spark.sparkContext.defaultParallelism
         with open(path) as fh:
             header = None
             for raw in fh:
@@ -210,19 +230,43 @@ class Graph:
 
         lines = spark.read.text(path)
         numbered = lines.rdd.zipWithIndex().toDF(["row", "line_no"])
-        data = (
-            numbered.select(F.col("row.value").alias("value"), "line_no")
-            .filter(~F.col("value").startswith("%") & (F.trim("value") != ""))
+        # keep blank lines (degree-0 vertices); drop only '%' comments
+        data = numbered.select(F.col("row.value").alias("value"), "line_no").filter(
+            ~F.col("value").startswith("%")
         )
-        # rank data lines by original order: first data line = header,
-        # line k (1-based after header) = neighbors of vertex k-1… vertex k
-        from pyspark.sql import Window
+        parted = data.repartitionByRange(num_partitions, "line_no").sortWithinPartitions(
+            "line_no"
+        )
+        # cache so the count pass and the rank pass see the same ranges
+        with_pid = parted.withColumn("_pid", F.spark_partition_id()).cache()
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        boffsets = spark.sparkContext.broadcast(offsets)
 
-        w = Window.orderBy("line_no")
-        ranked = data.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") > 1)
+        def rank_partition(batches):
+            import pandas as pd
+
+            local = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                base = boffsets.value.get(int(pdf["_pid"].iloc[0]), 0)
+                ranks = range(base + local, base + local + len(pdf))
+                local += len(pdf)
+                yield pd.DataFrame({"rank": list(ranks), "value": pdf["value"]})
+
+        ranked = with_pid.mapInPandas(rank_partition, schema="rank long, value string")
+        # rank 0 = header; rank k >= 1 = adjacency list of vertex k-1
         edges = (
-            ranked.select(
-                (F.col("rank") - 2).cast("long").alias("src"),
+            ranked.filter(F.col("rank") > 0)
+            .select(
+                (F.col("rank") - 1).cast("long").alias("src"),
                 F.explode(F.split(F.trim("value"), r"\s+")).alias("nbr"),
             )
             .filter(F.col("nbr") != "")

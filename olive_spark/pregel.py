@@ -21,9 +21,10 @@ This is the Spark re-expression of the reference's entire compute API
   ``when(cond, update)`` column expressions; the next frontier is the
   set of rows where ``cond`` held.
 
-- ``vertexReduce`` (oliver.h:176-183) is a driver-side ``halt``
-  callback running one aggregate action per superstep — it doubles as
-  the superstep barrier, exactly like the reference's D2H fold.
+- ``vertexReduce`` (oliver.h:176-183) is the ``halt_agg`` aggregate
+  Column, folded into the single per-superstep barrier action together
+  with the snapshot materialization and the frontier count — exactly
+  like the reference's D2H fold doubling as the superstep barrier.
 
 Scale design:
 - The edge table is cached hash-partitioned by ``src`` once (Graph);
@@ -102,9 +103,16 @@ class PregelProgram:
     full_frontier: True = every superstep processes all vertices
             (PageRank's universal VertexSubset, PageRank.cu:114);
             False = frontier-driven (BFS/SSSP/CC).
-    halt:   optional driver-side convergence check, called with the
-            updated state each superstep -> True stops the loop
-            (vertexReduce + epsilon test, PageRank.cu:126-127).
+    halt_agg / halt_pred: folded convergence check (vertexReduce +
+            epsilon test, PageRank.cu:126-127). ``halt_agg`` is an
+            aggregate Column over the NEW state (e.g.
+            ``F.sum(F.abs(F.col("delta")))``); it is computed INSIDE
+            the single per-superstep barrier action (the same job that
+            materializes the state snapshot and counts the frontier),
+            so convergence checking costs zero extra jobs.
+            ``halt_pred(value, superstep) -> True`` stops the loop.
+    halt:   legacy driver-side convergence callback (one extra
+            aggregate action per superstep) — prefer halt_agg.
     """
 
     init: dict[str, Column]
@@ -115,6 +123,8 @@ class PregelProgram:
     accum_default: Any = None
     full_frontier: bool = False
     halt: Callable[[DataFrame, int], bool] | None = None
+    halt_agg: Column | None = None
+    halt_pred: Callable[[Any, int], bool] | None = None
     # Escape hatch for non-single-aggregate reduces (e.g. label
     # propagation's frequency-argmax): maps the message DataFrame
     # (id, g) -> accumulator DataFrame (id, accum). When set, `agg` is
@@ -128,6 +138,11 @@ class PregelResult:
     supersteps: int
     metrics: list[dict] = field(default_factory=list)
     converged: bool = True
+    # SSSP only: loop hit the |V|-iteration Bellman-Ford bound with a
+    # non-empty frontier — the reference's negative-cycle break
+    # (SSSP.cu:153-157), surfaced explicitly instead of just
+    # converged=False.
+    negative_cycle_suspected: bool = False
 
     # the raw checkpointed snapshot behind `state` (which is a projection)
     _raw_state: DataFrame | None = None
@@ -188,8 +203,17 @@ def pregel(
     spark = graph.edges.sparkSession
     edges = graph.edges
     state_cols = list(program.init.keys())
+    frontier_driven = not program.full_frontier
+    # The frontier lives IN the state as the `_active` boolean column
+    # (seeded by an `_active` init expression, else all-active). Keeping
+    # it in-row instead of as a separate DataFrame lets ONE action per
+    # superstep materialize the snapshot, count the frontier, and
+    # evaluate halt_agg — r1 spent three jobs (state checkpoint,
+    # frontier checkpoint, frontier count) on the same barrier, and that
+    # fixed ~0.5s/superstep overhead capped raw scaling efficiency.
+    if frontier_driven and "_active" not in state_cols:
+        state_cols.append("_active")
 
-    frontier: DataFrame | None = None
     frontier_size = graph.vertex_count()
     superstep = 0
 
@@ -197,12 +221,12 @@ def pregel(
     if resume and checkpoint_store is not None:
         last = checkpoint_store.latest_superstep()
         if last is not None:
-            state, frontier = checkpoint_store.load(last)
+            state, _ = checkpoint_store.load(last)
             superstep = last
-            if not program.full_frontier:
-                if frontier is None:
-                    raise ValueError("frontier missing from checkpoint")
-                frontier_size = frontier.count()
+            if frontier_driven:
+                if "_active" not in state.columns:
+                    raise ValueError("_active column missing from checkpoint")
+                frontier_size = state.filter(F.col("_active")).count()
                 if frontier_size == 0:
                     # run had already converged at checkpoint time
                     return PregelResult(
@@ -215,18 +239,17 @@ def pregel(
 
     if not resumed:
         state = _init_state(graph, program)
-        state = state.repartition(graph.num_partitions, "id").localCheckpoint(eager=True)
-        # Frontier = ids active this superstep. Full-frontier programs skip
-        # materializing it (universal sparse set, vertexSubset.h:59-67).
-        if not program.full_frontier:
-            # Seed frontier: vertices whose init marks them active;
-            # convention: `_active` init column; else all vertices.
-            if "_active" in state_cols:
-                frontier = state.filter(F.col("_active")).select("id")
-                frontier = frontier.localCheckpoint(eager=True)
-                frontier_size = frontier.count()
-            else:
-                frontier = state.select("id").localCheckpoint(eager=True)
+        if frontier_driven and "_active" not in program.init:
+            state = state.withColumn("_active", F.lit(True))
+        # lazy localCheckpoint: the first action on it materializes the
+        # snapshot — so the seed-frontier count below doubles as the
+        # materialization job (one job, not two).
+        state = state.repartition(graph.num_partitions, "id").localCheckpoint(eager=False)
+        if frontier_driven:
+            n = state.agg(F.sum(F.col("_active").cast("long")).alias("n")).first()["n"]
+            frontier_size = int(n or 0)
+        else:
+            frontier_size = state.count()
 
     metrics: list[dict] = []
     converged = False
@@ -245,8 +268,7 @@ def pregel(
         if program.full_frontier:
             act = state
         else:
-            act = state.join(F.broadcast(frontier) if frontier_size <= broadcast_threshold
-                             else frontier.hint("shuffle_hash"), "id", "inner")
+            act = state.filter(F.col("_active"))
         act_hinted = (
             F.broadcast(act)
             if frontier_size <= broadcast_threshold
@@ -277,6 +299,10 @@ def pregel(
 
         new_cols = [F.col("id"), F.col("outdeg")]
         for name in state_cols:
+            if name == "_active":
+                # next frontier = rows the cond admitted this superstep
+                new_cols.append(F.col("_upd").alias("_active"))
+                continue
             expr = program.update.get(name)
             if expr is None:
                 new_cols.append(F.col(name))
@@ -285,7 +311,6 @@ def pregel(
                     F.when(F.col("_upd"), expr).otherwise(F.col(name)).alias(name)
                 )
         new_state = joined.select(*new_cols)
-        new_frontier = joined.filter(F.col("_upd")).select("id")
 
         # ---- materialize + truncate lineage -----------------------------
         durable = (
@@ -294,16 +319,25 @@ def pregel(
         )
         if durable:
             # superstep+1 = the number of completed supersteps this state
-            # reflects (superstep increments just below)
-            new_state, new_frontier = checkpoint_store.checkpoint(
-                superstep + 1,
-                new_state,
-                new_frontier if not program.full_frontier else None,
-            )
+            # reflects (superstep increments just below). The parquet
+            # write is the materializing action on the durable path.
+            new_state, _ = checkpoint_store.checkpoint(superstep + 1, new_state, None)
         else:
-            new_state = new_state.localCheckpoint(eager=True)
-            if not program.full_frontier:
-                new_frontier = new_frontier.localCheckpoint(eager=True)
+            new_state = new_state.localCheckpoint(eager=False)
+
+        # ---- the ONE barrier action per superstep ------------------------
+        # Materializes the (lazy) snapshot, counts the next frontier, and
+        # evaluates the convergence aggregate — all in a single job. This
+        # is the Spark analogue of the reference's superstep barrier +
+        # D2H vertexReduce fold (oliver.h:176-183), fused.
+        aggs = []
+        if frontier_driven:
+            aggs.append(F.sum(F.col("_active").cast("long")).alias("_n_active"))
+        if program.halt_agg is not None:
+            aggs.append(program.halt_agg.alias("_halt"))
+        if not aggs:
+            aggs.append(F.count(F.lit(1)).alias("_n"))
+        row = new_state.agg(*aggs).first()
 
         old_state = state
         state = new_state
@@ -312,19 +346,20 @@ def pregel(
 
         # ---- termination ------------------------------------------------
         step_metrics = {"superstep": superstep, "ms": None, "active": None}
-        if program.full_frontier:
-            if program.halt is not None and program.halt(state, superstep):
-                converged = True
-        else:
-            old_frontier = frontier
-            frontier = new_frontier
-            _free_checkpoint(old_frontier)
-            frontier_size = frontier.count()
+        if frontier_driven:
+            frontier_size = int(row["_n_active"] or 0)
             step_metrics["active"] = frontier_size
             if frontier_size == 0:
                 converged = True
-            elif program.halt is not None and program.halt(state, superstep):
-                converged = True
+        if (
+            not converged
+            and program.halt_agg is not None
+            and program.halt_pred is not None
+            and program.halt_pred(row["_halt"], superstep)
+        ):
+            converged = True
+        if not converged and program.halt is not None and program.halt(state, superstep):
+            converged = True
 
         if collect_partition_metrics:
             step_metrics["partitions"] = [

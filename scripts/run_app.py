@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-method", choices=["sort", "hash"], default="hash")
     p.add_argument("--variant", choices=["default", "stars"], default="default",
                    help="cc: stars = O(log n) large/small-star contraction")
+    p.add_argument("--weighted", action="store_true",
+                   help="sssp: force double-valued distances (auto-detected "
+                        "for fractional weights)")
     return p
 
 
@@ -110,11 +113,27 @@ def main(argv=None):
         res = bfs(graph, source=args.source, max_iterations=args.iterations, **kw)
         out, meta = res.state, {"supersteps": res.supersteps, "converged": res.converged}
     elif args.app == "sssp":
-        from olive_spark.algorithms.sssp import sssp
+        from pyspark.sql import functions as F
 
-        res = sssp(graph, source=args.source, unit_weights=False,
-                   max_iterations=args.iterations, **kw)
-        out, meta = res.state, {"supersteps": res.supersteps, "converged": res.converged}
+        from olive_spark.algorithms.sssp import sssp, sssp_weighted
+
+        # int-unit distances silently truncate fractional weights
+        # (edge('weight').cast('long')): dispatch on integrality.
+        frac = graph.edges.filter(
+            F.col("weight") != F.floor("weight").cast("double")
+        ).limit(1).count()
+        if frac or args.weighted:
+            res = sssp_weighted(graph, source=args.source,
+                                max_iterations=args.iterations, **kw)
+        else:
+            res = sssp(graph, source=args.source, unit_weights=False,
+                       max_iterations=args.iterations, **kw)
+        out, meta = res.state, {
+            "supersteps": res.supersteps,
+            "converged": res.converged,
+            "weighted": bool(frac or args.weighted),
+            "negative_cycle_suspected": res.negative_cycle_suspected,
+        }
     elif args.app == "triangles":
         from olive_spark.algorithms.triangles import triangle_count
 

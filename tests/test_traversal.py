@@ -115,3 +115,39 @@ def test_weighted_pagerank_and_sssp(spark):
     finite = np.isfinite(exp)
     assert np.allclose(got[finite], exp[finite])
     assert np.isinf(got[~finite]).all()
+
+
+def test_sssp_negative_cycle_flag(spark):
+    """Bellman-Ford still relaxing after |V| rounds -> the reference's
+    negative-cycle break (SSSP.cu:153-157), surfaced explicitly."""
+    from olive_spark.algorithms.sssp import sssp_weighted
+    from olive_spark.graph import Graph
+
+    # 3-cycle with total weight -1 reachable from source 0
+    neg = Graph.from_edges(
+        spark,
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 0, -3.0)],
+            "src long, dst long, weight double",
+        ),
+        num_partitions=2,
+    )
+    res = sssp_weighted(neg, source=0)
+    assert not res.converged
+    assert res.negative_cycle_suspected
+
+    # same shape, positive weights -> converges, no flag
+    pos = Graph.from_edges(
+        spark,
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 3.0)],
+            "src long, dst long, weight double",
+        ),
+        num_partitions=2,
+    )
+    res2 = sssp_weighted(pos, source=0)
+    assert res2.converged and not res2.negative_cycle_suspected
+
+    # caller-chosen small cap: NOT a negative-cycle signal
+    res3 = sssp_weighted(neg, source=0, max_iterations=2)
+    assert not res3.converged and not res3.negative_cycle_suspected
