@@ -779,3 +779,76 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["pages_ingest_degrees"] = _PAGES_DEGREES_SQL
     o["emb_ivf_top5"] = _KNN_SQL
     return o
+
+
+# --- appended (r2): embedding near-dup pairs + content fingerprints ---------
+
+_EMB_NEARDUP_SQL = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       CAST(ROUND(ROUND(
+         CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+         THEN list_dot_product(a.v, b.v)
+              / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+         ELSE 0.0 END, 6) * 1000000) AS BIGINT) AS cosine_e6
+FROM c a JOIN c b ON a.vec_id < b.vec_id
+WHERE ROUND(
+  CASE WHEN list_dot_product(a.v, a.v) > 0 AND list_dot_product(b.v, b.v) > 0
+  THEN list_dot_product(a.v, b.v)
+       / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+  ELSE 0.0 END, 6) >= 0.5
+""".strip()
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(text) AS md5,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_md5
+FROM documents
+""".strip()
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs at threshold 0.5 (the
+    all-pairs baseline; the LSH-pruned scale path is recall-tested in
+    pytest — recall < 1 by construction, so the exact method is the
+    oracle-parity contract)."""
+    from olive_spark.pipeline.similarity import embedding_near_duplicates
+
+    register_testdata_views(spark, sf_dir)
+    out = embedding_near_duplicates(
+        spark.table("embeddings"), threshold=0.5, method="exact"
+    )
+    return out.select(
+        "vec_id_a", "vec_id_b",
+        F.round(F.col("cosine") * 1e6).cast("long").alias("cosine_e6"),
+    )
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 + normalized md5; the xxhash64 column
+    is dropped here — no DuckDB twin — and covered by pytest)."""
+    from olive_spark.pipeline.textstats import document_fingerprint
+
+    register_testdata_views(spark, sf_dir)
+    return document_fingerprint(spark.table("documents")).select(
+        "doc_id", "md5", "norm_md5"
+    )
+
+
+_BASE_QUERIES5 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES5())
+    q["emb_near_dup_pairs"] = _q_emb_neardup
+    q["doc_fingerprints"] = _q_fingerprints
+    return q
+
+
+_BASE_ORACLES5 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES5())
+    o["emb_near_dup_pairs"] = _EMB_NEARDUP_SQL
+    o["doc_fingerprints"] = _FINGERPRINT_SQL
+    return o

@@ -134,26 +134,30 @@ def connected_components_stars(
         out = nbrs.unionByName(selfe)
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    from olive_spark.pregel import _free_checkpoint
+    from olive_spark.pregel import _free_checkpoint, stable_partitioning
 
-    prev_sum = checksum(edges)
-    for _ in range(max_rounds):
-        ls = large_star(edges)
-        ss = small_star(
-            ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
-        )
-        new_edges = (
-            ss.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-            .distinct()
-            .repartition(p, "u")
-            .localCheckpoint(eager=True)
-        )
-        new_sum = checksum(new_edges)
-        _free_checkpoint(edges)
-        edges = new_edges
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    # iterative co-partitioned joins: keep partition counts stable (see
+    # stable_partitioning — AQE coalescing would force per-round
+    # re-exchanges at reduced parallelism)
+    with stable_partitioning(spark):
+        prev_sum = checksum(edges)
+        for _ in range(max_rounds):
+            ls = large_star(edges)
+            ss = small_star(
+                ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+            )
+            new_edges = (
+                ss.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+                .distinct()
+                .repartition(p, "u")
+                .localCheckpoint(eager=True)
+            )
+            new_sum = checksum(new_edges)
+            _free_checkpoint(edges)
+            edges = new_edges
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
 
     # star forest: every u points at its root v; isolated vertices map to self
     roots = edges.groupBy("u").agg(F.min("v").alias("component")).select(

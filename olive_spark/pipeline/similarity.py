@@ -302,3 +302,74 @@ def ivf_knn(
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (the vector analogue of the text
+# dedup family): exact all-pairs baseline + LSH-pruned scale path.
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, cosine) for every pair with cosine >= threshold.
+
+    method="exact": all-pairs self-join with vec_id_a < vec_id_b — the
+    oracle-parity baseline and the verifier. O(N^2): fine to ~10^5
+    vectors, NOT the 10^9 path.
+
+    method="lsh": random-hyperplane bucket pruning (pairs must share a
+    bucket in >= 1 of n_tables tables), exact cosine verification on
+    candidates only — every emitted pair is exact, but recall < 1 for
+    pairs near the threshold (rises with n_tables; recall-tested in
+    pytest). This is the 10^9-vector shape: bucket join, no cross
+    product, degenerate buckets capped.
+    """
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    if method == "exact":
+        a = c.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+        b = c.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    elif method == "lsh":
+        if c.isEmpty():
+            dim = 1
+        else:
+            dim = len(c.select("v").first()[0])
+        cand = None
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + t)
+            cb = c.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
+            if max_bucket_size is not None:
+                sizes = cb.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+                cb = cb.join(
+                    sizes.filter(F.col("_bsz") <= max_bucket_size), "bucket"
+                ).drop("_bsz")
+            a = cb.select("bucket", F.col("vec_id").alias("vec_id_a"),
+                          F.col("v").alias("va"))
+            b = cb.select("bucket", F.col("vec_id").alias("vec_id_b"),
+                          F.col("v").alias("vb"))
+            p = a.join(b, "bucket").filter(
+                F.col("vec_id_a") < F.col("vec_id_b")
+            ).select("vec_id_a", "vec_id_b", "va", "vb")
+            cand = p if cand is None else cand.unionByName(p)
+        pairs = cand.dropDuplicates(["vec_id_a", "vec_id_b"])
+    else:
+        raise ValueError(method)
+
+    denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(denom > 0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
+    return (
+        pairs.select("vec_id_a", "vec_id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

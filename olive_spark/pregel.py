@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -53,6 +54,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from olive_spark.graph import Graph
+
+
+@contextmanager
+def stable_partitioning(spark):
+    """Disable AQE partition coalescing for an iterative section.
+
+    AQE's post-shuffle coalescing is right for one-shot queries but
+    wrong inside a superstep loop: coalescing the message aggregation's
+    output breaks the hash(id, P) co-partitioning between the vertex
+    state and the accumulator, forcing an extra low-parallelism
+    exchange of the state every superstep. Measured on the 64M-edge
+    scaling workload: local[8] throughput +17% with coalescing off, and
+    the 2->8-core speedup rises 2.18x -> 2.83x (BENCH.md). Skew-join
+    splitting and the rest of AQE stay on.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
 
 
 def src(name: str) -> Column:
@@ -200,6 +227,29 @@ def pregel(
     resume=True picks up from the store's latest committed superstep —
     a resumed run is bit-identical to a straight run (tested).
     """
+    with stable_partitioning(graph.edges.sparkSession):
+        return _pregel_impl(
+            graph,
+            program,
+            max_iterations,
+            checkpoint_store,
+            checkpoint_every,
+            broadcast_threshold,
+            collect_partition_metrics,
+            resume,
+        )
+
+
+def _pregel_impl(
+    graph: Graph,
+    program: PregelProgram,
+    max_iterations: int,
+    checkpoint_store,
+    checkpoint_every: int,
+    broadcast_threshold: int,
+    collect_partition_metrics: bool,
+    resume: bool,
+) -> PregelResult:
     spark = graph.edges.sparkSession
     edges = graph.edges
     state_cols = list(program.init.keys())

@@ -404,3 +404,34 @@ def test_ivf_deterministic(spark):
     c1 = train_ivf_centroids(emb, n_lists=4)
     c2 = train_ivf_centroids(emb, n_lists=4)
     assert np.array_equal(c1, c2)
+
+
+def test_embedding_near_duplicates_exact(spark):
+    from olive_spark.pipeline.similarity import embedding_near_duplicates
+
+    vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [-1.0, 0.0]]
+    out = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+           for r in embedding_near_duplicates(
+               emb_df(spark, vecs), threshold=0.9, method="exact").collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] > 0.99
+
+
+def test_embedding_near_duplicates_lsh_recall(spark):
+    """LSH-pruned near-dup pairs: every emitted pair is exact; recall
+    >= 0.9 vs the exact method on clustered data."""
+    from olive_spark.pipeline.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((5, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((12, 16)) * 0.2 for c in centers])
+    emb = emb_df(spark, vecs)
+    exact = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+             for r in embedding_near_duplicates(emb, 0.95, "exact").collect()}
+    lsh = {(r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+           for r in embedding_near_duplicates(emb, 0.95, "lsh",
+                                              n_planes=6, n_tables=6).collect()}
+    assert set(lsh) <= set(exact)            # no false positives, ever
+    assert all(lsh[k] == exact[k] for k in lsh)  # values exact
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall >= 0.9, recall
