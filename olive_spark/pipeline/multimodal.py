@@ -108,3 +108,113 @@ def synth_media(spark, n: int = 64, num_partitions: int = 4) -> DataFrame:
         .repartition(num_partitions, "id")
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Image rows -> resized payloads + corrected metadata.
+
+    Plumbing (filter to kind='image', Arrow batches in, binary payloads
+    + typed metadata out) is the production shape; the pixel work is
+    the stub slot: ``fake`` emits a deterministic payload derived from
+    (bytes, target size) so downstream operators (dedup, features) are
+    testable; ``raise`` marks where PIL/libvips plugs in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips — not in this env"
+                )
+            payloads = [
+                hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                * max(1, (width * height) // 2048)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "mime": pdf["mime"],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "mime")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Video rows -> one row per sampled frame (media_id, frame_idx,
+    ts_ms, frame).
+
+    The SAMPLING PLAN is pure built-ins — ``sequence(0, duration_ms,
+    every_ms)`` + ``slice`` + ``posexplode`` compute the capped
+    timestamp grid JVM-side, so a 2-hour video contributes at most
+    ``max_frames`` rows BEFORE any Python runs (no exploded-then-
+    filtered waste). Only the per-timestamp frame extraction is the
+    stubbed Arrow step (``fake`` = deterministic bytes from
+    (payload, ts); ``raise`` marks the ffmpeg slot).
+    """
+    grid = F.slice(
+        F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(int(every_ms))),
+        1,
+        int(max_frames),
+    )
+    timestamps = (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", F.posexplode(grid).alias("frame_idx", "ts_ms"))
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg — not in this env"
+                )
+            frames = [
+                hashlib.sha256(bytes(p) + int(ts).to_bytes(8, "big")).digest()
+                for p, ts in zip(pdf["payload"], pdf["ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "ts_ms": pdf["ts_ms"].astype("int64"),
+                    "frame": frames,
+                }
+            )
+
+    return timestamps.mapInPandas(run, schema=FRAME_SCHEMA)

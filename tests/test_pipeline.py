@@ -435,3 +435,37 @@ def test_embedding_near_duplicates_lsh_recall(spark):
     assert all(lsh[k] == exact[k] for k in lsh)  # values exact
     recall = len(lsh) / max(len(exact), 1)
     assert recall >= 0.9, recall
+
+
+def test_multimodal_resize_plumbing(spark):
+    from olive_spark.pipeline.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=24, num_partitions=3)
+    out = resize_images(media, 32, 32).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert (r["width"], r["height"]) == (32, 32)
+        assert len(r["payload"]) > 0
+    # deterministic across runs
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 32, 32).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
+
+
+def test_multimodal_frame_sampling(spark):
+    from olive_spark.pipeline.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=30, num_partitions=3)
+    out = sample_frames(media, every_ms=5000, max_frames=4).collect()
+    vids = {r["media_id"]: r["duration_ms"]
+            for r in media.filter("kind = 'video'").collect()}
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert set(by_media) <= set(vids)
+    for mid, frames in by_media.items():
+        # capped grid: 0, 5000, 10000... at most 4, never past duration
+        expected = [(i, t) for i, t in enumerate(range(0, vids[mid] + 1, 5000))][:4]
+        assert sorted(frames) == expected
+    # zero-duration videos still produce frame 0
+    assert all(len(v) >= 1 for v in by_media.values())
