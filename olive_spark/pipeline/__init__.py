@@ -8,15 +8,23 @@ All DataFrame-native or Arrow-vectorized; no per-row Python.
 """
 
 from olive_spark.pipeline.dedup import (
+    exact_duplicate_examples,
     exact_duplicates,
-    minhash_signatures,
     minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_signatures,
+)
+from olive_spark.pipeline.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
 )
 from olive_spark.pipeline.similarity import (
     brute_force_knn,
     cosine_scores,
+    embedding_near_duplicates,
     ivf_knn,
     lsh_bucketed_knn,
 )
@@ -29,16 +37,22 @@ from olive_spark.pipeline.textstats import (
 
 __all__ = [
     "exact_duplicates",
+    "exact_duplicate_examples",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "minhash_near_duplicates",
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "cosine_scores",
     "brute_force_knn",
     "lsh_bucketed_knn",
     "ivf_knn",
+    "embedding_near_duplicates",
     "language_id",
     "quality_score",
     "token_stats",
     "document_fingerprint",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
 ]
