@@ -852,3 +852,152 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["emb_near_dup_pairs"] = _EMB_NEARDUP_SQL
     o["doc_fingerprints"] = _FINGERPRINT_SQL
     return o
+
+
+# --- appended (r2): HITS, personalized PageRank, host-graph rollup ----------
+
+HITS_K = 3
+PPR_K = 5
+PPR_SOURCES = [0, 1, 2]
+
+
+def _hits_sql(k: int) -> str:
+    """Unrolled k synchronous HITS rounds (auth from hubs, then hubs
+    from NEW auths, L2-normalized after each half-round) — identical
+    semantics to olive_spark.algorithms.hits."""
+    ctes = [
+        f"e AS MATERIALIZED ({TESTDATA_EDGES_SQL})",
+        f"v AS MATERIALIZED ({_VERTS_BI})",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0.0) AS araw "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, SUM(h.hub) AS s "
+            f"FROM e JOIN h{i-1} h ON e.src = h.id GROUP BY e.dst) m ON v.id = m.id)"
+        )
+        ctes.append(f"an{i} AS (SELECT SQRT(SUM(araw * araw)) AS nrm FROM ar{i})")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT nrm FROM an{i}) > 0 "
+            f"THEN araw / (SELECT nrm FROM an{i}) ELSE 0.0 END AS auth FROM ar{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT v.id, COALESCE(m.s, 0.0) AS hraw "
+            f"FROM v LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS s "
+            f"FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src) m ON v.id = m.id)"
+        )
+        ctes.append(f"hn{i} AS (SELECT SQRT(SUM(hraw * hraw)) AS nrm FROM hr{i})")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT nrm FROM hn{i}) > 0 "
+            f"THEN hraw / (SELECT nrm FROM hn{i}) ELSE 0.0 END AS hub FROM hr{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h{k}.id, CAST(ROUND(h{k}.hub * 1000000) AS BIGINT) AS hub_e6, "
+        f"CAST(ROUND(a{k}.auth * 1000000) AS BIGINT) AS auth_e6 "
+        f"FROM h{k} JOIN a{k} ON h{k}.id = a{k}.id"
+    )
+
+
+def _ppr_sql(k: int, sources: list[int]) -> str:
+    """Unrolled k-iteration personalized PageRank: teleport mass goes
+    only to the seed set (pref = 1/|S| on seeds, 0 elsewhere)."""
+    src_list = ", ".join(str(s) for s in sources)
+    pref = 1.0 / len(sources)
+    pref_of = f"CASE WHEN {{col}} IN ({src_list}) THEN {pref!r} ELSE 0.0 END"
+    ctes = [
+        f"e AS MATERIALIZED ({TESTDATA_EDGES_SQL})",
+        f"v AS MATERIALIZED ({_VERTS_BI})",
+        "deg AS MATERIALIZED (SELECT v.id, CAST(COALESCE(d.cnt, 0) AS DOUBLE) AS outdeg "
+        "FROM v LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM e GROUP BY src) d "
+        "ON v.id = d.src)",
+        f"r0 AS MATERIALIZED (SELECT id, {pref_of.format(col='id')} AS rank FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / deg.outdeg) AS acc "
+            f"FROM e JOIN r{i-1} r ON e.src = r.id JOIN deg ON deg.id = e.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, 0.85 * COALESCE(m{i}.acc, 0.0) "
+            f"+ 0.15 * {pref_of.format(col='v.id')} AS rank "
+            f"FROM v LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(rank * 1000000000) AS BIGINT) AS rank_e9 FROM r{k}"
+    )
+
+
+# The page fixture realizes the bidirectional 100-vertex chain over 97
+# hosts (url_of: host = page % 97) — the host-level rollup is closed-form.
+_HOST_GRAPH_SQL = """
+WITH le AS (
+  SELECT r.range AS s, r.range + 1 AS d FROM range(99) r
+  UNION ALL
+  SELECT r.range + 1 AS s, r.range AS d FROM range(99) r
+)
+SELECT 'site' || CAST(s % 97 AS VARCHAR) || '.example' AS src_host,
+       'site' || CAST(d % 97 AS VARCHAR) || '.example' AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM le GROUP BY 1, 2
+""".strip()
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.hits import hits
+
+    g = testdata_graph(spark, sf_dir)
+    out = hits(g, iterations=HITS_K)
+    return out.select(
+        "id",
+        F.round(F.col("hub") * 1e6).cast("long").alias("hub_e6"),
+        F.round(F.col("auth") * 1e6).cast("long").alias("auth_e6"),
+    )
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.pagerank import personalized_pagerank
+
+    g = testdata_graph(spark, sf_dir)
+    res = personalized_pagerank(
+        g, sources=PPR_SOURCES, epsilon=None, max_iterations=PPR_K
+    )
+    return res.state.select(
+        "id", F.round(F.col("rank") * 1e9).cast("long").alias("rank_e9")
+    )
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingest on the synthesized chain-topology page table, rolled
+    up to the host-level link graph (the Common-Crawl host graph)."""
+    from olive_spark.fixtures import chain_graph
+    from olive_spark.ingest.pages import synth_pages
+    from olive_spark.ingest.resolve import host_graph_edges
+
+    n, e = chain_graph(100)
+    pages = synth_pages(spark, n, e, num_partitions=8)
+    return host_graph_edges(pages)
+
+
+_BASE_QUERIES6 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES6())
+    q["hits_k3"] = _q_hits
+    q["ppr_k5"] = _q_ppr
+    q["pages_host_graph"] = _q_host_graph
+    return q
+
+
+_BASE_ORACLES6 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES6())
+    o["hits_k3"] = _hits_sql(HITS_K)
+    o["ppr_k5"] = _ppr_sql(PPR_K, PPR_SOURCES)
+    o["pages_host_graph"] = _HOST_GRAPH_SQL
+    return o

@@ -1,0 +1,124 @@
+"""HITS (hubs & authorities) as a fixed-round DataFrame iteration.
+
+The reference ships PageRank/BFS/SSSP as its example apps; HITS is the
+other canonical link-analysis kernel a user of a link-graph engine
+expects, and it exercises the one pattern PageRank does not: messages
+flowing along BOTH edge directions in the same round (authority = sum
+of in-neighbor hub scores, hub = sum of out-neighbor authority scores
+— Kleinberg 1999, the public algorithm definition).
+
+Semantics per round (synchronous, matching the unrolled SQL oracle in
+__spark_entry__.py):
+
+    a_raw(v) = sum over edges (u,v) of hub(u);        a = a_raw / ||a_raw||_2
+    h_raw(u) = sum over edges (u,v) of a(v);          h = h_raw / ||h_raw||_2
+
+init hub = 1.0. Vertices with no in-(out-)edges get 0 authority (hub).
+
+Scale design:
+- Both half-rounds are state ⋈ cached-edge joins + groupBy partial-agg
+  shuffles — the same shape as the pregel edge phase (pregel.py:310-332);
+  the narrow (id, score) state is the only moving side.
+- The L2 norms are 1-row aggregates cross-joined back in (Catalyst
+  broadcasts the single row) — NO driver-side collect per round; one
+  Spark action per round materializes the round's snapshot, exactly the
+  single-barrier discipline of the pregel loop.
+- Lineage is truncated per round via lazy localCheckpoint; superseded
+  snapshots are freed (same O(1)-resident-snapshots policy as pregel).
+- Runs under stable_partitioning: AQE coalescing would break the
+  hash(id, P) co-partitioning between rounds (measured in BENCH.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olive_spark.graph import Graph
+from olive_spark.pregel import _free_checkpoint, stable_partitioning
+
+
+def _normalize(scored: DataFrame, raw_col: str, out_col: str) -> DataFrame:
+    """Divide by the global L2 norm without a driver action: the 1-row
+    aggregate is cross-joined back (broadcast nested loop of 1 row)."""
+    norm = scored.agg(
+        F.sqrt(F.sum(F.col(raw_col) * F.col(raw_col))).alias("_norm")
+    )
+    return scored.crossJoin(norm).select(
+        "id",
+        F.when(F.col("_norm") > 0.0, F.col(raw_col) / F.col("_norm"))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+
+
+def hits(graph: Graph, iterations: int = 3) -> DataFrame:
+    """Run exactly ``iterations`` synchronous HITS rounds.
+
+    Returns (id, hub, auth) for every vertex. Fixed-round (not
+    convergence-driven) so results are deterministic and oracle-
+    comparable; HITS converges geometrically, so small k is the
+    practically-used form.
+    """
+    with stable_partitioning(graph.edges.sparkSession):
+        return _hits_impl(graph, iterations)
+
+
+def _hits_impl(graph: Graph, iterations: int) -> DataFrame:
+    edges = graph.edges  # cached, hash-partitioned by src (Graph)
+    verts = graph.degrees().select("id")  # cached vertex table
+
+    state = verts.select("id", F.lit(1.0).alias("hub"))
+    state = state.repartition(graph.num_partitions, "id").localCheckpoint(
+        eager=False
+    )
+    auth = None
+    to_free: list[DataFrame] = []
+
+    for _ in range(iterations):
+        prev_auth = auth
+        # ---- authority half-round: messages along forward edges -------
+        a_msg = (
+            state.alias("s")
+            .join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("id"), F.col("s.hub").alias("g"))
+            .groupBy("id")
+            .agg(F.sum("g").alias("a_raw"))
+        )
+        a_raw = (
+            verts.join(a_msg.hint("shuffle_hash"), "id", "left")
+            .select("id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            .localCheckpoint(eager=False)
+        )
+        auth = _normalize(a_raw, "a_raw", "auth").localCheckpoint(eager=False)
+
+        # ---- hub half-round: messages along REVERSE edges --------------
+        # (join on e.dst — the authority score flows back to the linker)
+        h_msg = (
+            auth.alias("a")
+            .join(edges.alias("e"), F.col("a.id") == F.col("e.dst"))
+            .select(F.col("e.src").alias("id"), F.col("a.auth").alias("g"))
+            .groupBy("id")
+            .agg(F.sum("g").alias("h_raw"))
+        )
+        h_raw = (
+            verts.join(h_msg.hint("shuffle_hash"), "id", "left")
+            .select("id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
+            .localCheckpoint(eager=False)
+        )
+        new_state = _normalize(h_raw, "h_raw", "hub").localCheckpoint(eager=False)
+
+        # one barrier action per round: materializes the whole round's
+        # checkpoint chain (a_raw -> auth -> h_raw -> new_state), then the
+        # superseded snapshots are dropped.
+        new_state.count()
+        to_free += [state, a_raw, h_raw]
+        if prev_auth is not None:
+            to_free.append(prev_auth)
+        for df in to_free:
+            _free_checkpoint(df)
+        to_free = []
+        state = new_state
+
+    out = state.join(auth, "id").select("id", "hub", "auth")
+    return out

@@ -78,6 +78,57 @@ def pagerank_fixed(graph: Graph, iterations: int, damping: float = 0.85) -> Preg
     return res
 
 
+def personalized_pagerank(
+    graph: Graph,
+    sources: list[int],
+    damping: float = 0.85,
+    epsilon: float | None = 1e-7,
+    max_iterations: int = 100,
+    **kwargs,
+) -> PregelResult:
+    """PageRank with teleport restricted to a source set (random walk
+    with restart): rank = d * gathered + (1-d) * pref(v), where
+    pref(v) = 1/|S| for v in sources, else 0.
+
+    Same plan shape and cost as global PageRank — the preference vector
+    is one extra static DOUBLE column in the vertex state (no extra
+    join, no extra shuffle). This is the standard seeded-relevance query
+    over a link graph (e.g. ranking pages relative to a trusted seed
+    set); the reference's PageRank app generalizes to it by changing
+    only the init/update constants (PageRank.cu:77-87,63-75).
+    """
+    srcs = sorted(set(int(s) for s in sources))
+    if not srcs:
+        raise ValueError("sources must be non-empty")
+    pref = 1.0 / len(srcs)
+    pref_expr = (
+        F.when(F.col("id").isin(srcs), F.lit(pref)).otherwise(F.lit(0.0))
+    )
+
+    program = PregelProgram(
+        init={"pref": pref_expr, "rank": pref_expr, "delta": pref_expr},
+        gather=src("rank") / src("outdeg"),
+        agg=F.sum,
+        update={
+            "rank": F.lit(damping) * ACCUM()
+            + F.lit(1.0 - damping) * F.col("pref"),
+            "delta": F.lit(damping) * ACCUM()
+            + F.lit(1.0 - damping) * F.col("pref")
+            - F.col("rank"),
+        },
+        cond=None,
+        accum_default=0.0,
+        full_frontier=True,
+        halt_agg=F.sum(F.abs(F.col("delta"))) if epsilon is not None else None,
+        halt_pred=(
+            (lambda err, _step: err is not None and err < epsilon)
+            if epsilon is not None
+            else None
+        ),
+    )
+    return pregel(graph, program, max_iterations=max_iterations, **kwargs)
+
+
 def weighted_pagerank(
     graph: Graph,
     damping: float = 0.85,

@@ -116,6 +116,31 @@ def build_graph_from_pages(
     return graph, vertices
 
 
+def host_graph_edges(pages: DataFrame) -> DataFrame:
+    """Roll the page-level link graph up to a host-level graph:
+    (src_host, dst_host, n_links), one row per ordered host pair,
+    n_links = number of page-level hyperlinks between them (duplicates
+    and intra-host links counted — they are real link mass).
+
+    This is the standard Common-Crawl "host graph" derivation. At
+    10^12 pages the page graph has ~10^13 edges but only ~10^8 hosts:
+    the rollup is ONE groupBy whose map-side partial aggregation
+    collapses almost all rows before the shuffle (hosts repeat heavily
+    within a page partition), so the exchange carries host-pair
+    partials, not page edges. Host extraction is JVM-side `parse_url`
+    (codegen, no Python).
+    """
+    links = extract_links_df(pages)
+    return (
+        links.select(
+            F.parse_url(F.col("src_url"), F.lit("HOST")).alias("src_host"),
+            F.parse_url(F.col("dst_url"), F.lit("HOST")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic graph over the driver-provided TPC-H-ish testdata:
 # a supplier->customer bipartite multigraph (one edge per lineitem via its

@@ -234,3 +234,46 @@ def sssp_weighted(n: int, edges: list[tuple], source: int) -> np.ndarray:
         if not changed:
             break
     return dist
+
+
+def hits_fixed(n: int, edges: list[tuple], iterations: int):
+    """Serial HITS: k synchronous rounds, auth from hubs then hubs from
+    NEW auths, L2-normalized after each half-round (Kleinberg 1999)."""
+    src, dst = _edge_arrays(edges)
+    hub = np.ones(n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(iterations):
+        auth = np.zeros(n, dtype=np.float64)
+        if len(src):
+            np.add.at(auth, dst, hub[src])
+        nrm = np.sqrt((auth * auth).sum())
+        auth = auth / nrm if nrm > 0 else np.zeros(n)
+        hub = np.zeros(n, dtype=np.float64)
+        if len(src):
+            np.add.at(hub, src, auth[dst])
+        nrm = np.sqrt((hub * hub).sum())
+        hub = hub / nrm if nrm > 0 else np.zeros(n)
+    return hub, auth
+
+
+def personalized_pagerank_fixed(
+    n: int,
+    edges: list[tuple],
+    sources: list[int],
+    iterations: int,
+    damping: float = 0.85,
+) -> np.ndarray:
+    """Serial seeded PageRank: teleport mass restricted to `sources`."""
+    src, dst = _edge_arrays(edges)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    pref = np.zeros(n, dtype=np.float64)
+    pref[np.asarray(sorted(set(sources)), dtype=np.int64)] = 1.0 / len(set(sources))
+    rank = pref.copy()
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.float64)
+        if len(src):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                per_edge = rank[src] / outdeg[src]
+            np.add.at(contrib, dst, per_edge)
+        rank = damping * contrib + (1.0 - damping) * pref
+    return rank
