@@ -1001,3 +1001,52 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["ppr_k5"] = _ppr_sql(PPR_K, PPR_SOURCES)
     o["pages_host_graph"] = _HOST_GRAPH_SQL
     return o
+
+
+# --- appended (r2): k-core peeling over the chain page graph ----------------
+
+KCORE_K = 3
+KCORE_R = 5
+
+# The chain fixture stores each undirected edge as two directed rows
+# and kcore symmetrizes again (multigraph semantics): chain ends have
+# degree 2, interior vertices 4. At k=3 the 100-vertex chain peels
+# exactly one vertex per end per round, so after R rounds the surviving
+# core candidate set is {R .. 99-R} in closed form (pytest pins the
+# general engine-vs-numpy parity on non-chain shapes; the contract pins
+# the exact bounded-round semantics).
+_KCORE_SQL = f"""
+SELECT CAST(r.range AS BIGINT) AS id,
+       CAST(CASE WHEN r.range BETWEEN {KCORE_R} AND {99 - KCORE_R}
+            THEN 1 ELSE 0 END AS INT) AS in_core
+FROM range(100) r
+""".strip()
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.kcore import kcore
+    from olive_spark.fixtures import chain_graph
+    from olive_spark.graph import Graph
+
+    n, e = chain_graph(100)
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=8)
+    res = kcore(g, k=KCORE_K, max_rounds=KCORE_R)
+    return res.state.select("id", F.col("in_core").cast("int").alias("in_core"))
+
+
+_BASE_QUERIES7 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES7())
+    q["kcore3_chain_r5"] = _q_kcore
+    return q
+
+
+_BASE_ORACLES7 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES7())
+    o["kcore3_chain_r5"] = _KCORE_SQL
+    return o

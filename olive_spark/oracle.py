@@ -277,3 +277,29 @@ def personalized_pagerank_fixed(
             np.add.at(contrib, dst, per_edge)
         rank = damping * contrib + (1.0 - damping) * pref
     return rank
+
+
+def kcore_fixed(n: int, edges: list[tuple], k: int, max_rounds: int):
+    """Serial synchronous k-core peeling, mirroring algorithms/kcore.py:
+    round = degrees on the current undirected multigraph -> keep deg>=k
+    -> drop edges with a peeled endpoint; stop at fixpoint (edge count
+    unchanged) or after max_rounds. Returns (in_core bool[n], rounds,
+    converged)."""
+    if k == 0:
+        return np.ones(n, dtype=bool), 0, True
+    src, dst = _edge_arrays(edges, directed=False)
+    keep = np.ones(n, dtype=bool)
+    prev_edges = len(src)
+    rounds = 0
+    converged = False
+    while rounds < max_rounds:
+        deg = np.bincount(src, minlength=n)
+        keep = deg >= k
+        mask = keep[src] & keep[dst]
+        src, dst = src[mask], dst[mask]
+        rounds += 1
+        if len(src) == prev_edges:
+            converged = True
+            break
+        prev_edges = len(src)
+    return keep, rounds, converged

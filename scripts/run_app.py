@@ -27,7 +27,8 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="olive_spark link-graph apps")
     p.add_argument("app", choices=["pagerank", "cc", "labelprop", "bfs", "sssp",
-                                   "triangles", "ingest"])
+                                   "triangles", "ingest", "hits", "ppr",
+                                   "kcore", "hostgraph"])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--vertices", help="parquet vertex table (id); else derived")
     p.add_argument("--pages", help="parquet/iceberg pages table (url,warc_ts,html,text,lang)")
@@ -47,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weighted", action="store_true",
                    help="sssp: force double-valued distances (auto-detected "
                         "for fractional weights)")
+    p.add_argument("--sources", default="0",
+                   help="ppr: comma-separated seed vertex ids")
+    p.add_argument("--k", type=int, default=2, help="kcore: minimum degree")
     return p
 
 
@@ -66,9 +70,10 @@ def main(argv=None):
         from olive_spark.ingest.resolve import build_graph_from_pages
 
         pages = spark.read.parquet(args.pages)
-        graph, vert_urls = build_graph_from_pages(
-            spark, pages, id_method=args.id_method, num_partitions=args.partitions
-        )
+        if args.app != "hostgraph":  # hostgraph rolls up links directly
+            graph, vert_urls = build_graph_from_pages(
+                spark, pages, id_method=args.id_method, num_partitions=args.partitions
+            )
     elif args.edges:
         edges = spark.read.parquet(args.edges)
         vertices = spark.read.parquet(args.vertices) if args.vertices else None
@@ -139,6 +144,32 @@ def main(argv=None):
 
         per, total = triangle_count(graph)
         out, meta = per, {"total_triangles": total}
+    elif args.app == "hits":
+        from olive_spark.algorithms.hits import hits
+
+        out = hits(graph, iterations=args.iterations or 20)
+        meta = {"iterations": args.iterations or 20}
+    elif args.app == "ppr":
+        from olive_spark.algorithms.pagerank import personalized_pagerank
+
+        seeds = [int(s) for s in args.sources.split(",") if s.strip()]
+        res = personalized_pagerank(
+            graph, sources=seeds, damping=args.damping, epsilon=args.epsilon,
+            max_iterations=args.iterations or 100, **kw)
+        out, meta = res.state, {"supersteps": res.supersteps,
+                                "converged": res.converged, "sources": seeds}
+    elif args.app == "kcore":
+        from olive_spark.algorithms.kcore import kcore
+
+        res = kcore(graph, k=args.k, max_rounds=args.iterations or 100)
+        out, meta = res.state, {"rounds": res.rounds,
+                                "converged": res.converged, "k": args.k}
+    elif args.app == "hostgraph":
+        if not args.pages:
+            raise SystemExit("hostgraph needs --pages")
+        from olive_spark.ingest.resolve import host_graph_edges
+
+        out, meta = host_graph_edges(pages), {}
     elif args.app == "ingest":
         if not args.pages:
             raise SystemExit("ingest needs --pages")
