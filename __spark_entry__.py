@@ -1050,3 +1050,93 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = dict(_BASE_ORACLES7())
     o["kcore3_chain_r5"] = _KCORE_SQL
     return o
+
+
+# --- appended (r2): near-dup clustering + corpus n-gram counts --------------
+
+DEDUP_CC_K = 6
+
+
+def _dedup_clusters_sql(k: int) -> str:
+    """Canonical-doc assignment: exact all-pairs Jaccard >= 0.5 pairs
+    (the verified-pair oracle, == minhash_near_duplicates output) as an
+    undirected graph, then k unrolled min-label rounds — identical
+    semantics to dedup_clusters(iterations=k)."""
+    ctes = [
+        f"pe AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ({_JACCARD_SQL}) jj)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM pe "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pe)",
+        "v AS MATERIALIZED (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id FROM documents)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT s.dst AS id, MIN(l.label) AS ml "
+            f"FROM sym s JOIN l{i-1} l ON s.src = l.id GROUP BY s.dst)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT v.id, "
+            f"CAST(LEAST(p.label, COALESCE(m{i}.ml, p.label)) AS BIGINT) AS label "
+            f"FROM v JOIN l{i-1} p ON v.id = p.id LEFT JOIN m{i} ON v.id = m{i}.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, label AS canonical_id FROM l{k}"
+    )
+
+
+_NGRAM_COUNTS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(
+           list_transform(range(1, greatest(len(words) - 2, 0) + 2),
+                          i -> array_to_string(words[i:i+1], ' '))) AS ngram
+  FROM w
+),
+gf AS (SELECT doc_id, ngram FROM g WHERE length(ngram) > 0)
+SELECT ngram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM gf GROUP BY ngram HAVING COUNT(*) >= 5
+""".strip()
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.dedup import dedup_clusters, minhash_near_duplicates
+
+    register_testdata_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5, num_hashes=32, bands=16)
+    return dedup_clusters(docs, pairs, iterations=DEDUP_CC_K)
+
+
+def _q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.textstats import ngram_counts
+
+    register_testdata_views(spark, sf_dir)
+    return ngram_counts(spark.table("documents"), n=2, min_count=5)
+
+
+_BASE_QUERIES8 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES8())
+    q["doc_dedup_clusters"] = _q_dedup_clusters
+    q["doc_ngram_counts"] = _q_ngram_counts
+    return q
+
+
+_BASE_ORACLES8 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES8())
+    o["doc_dedup_clusters"] = _dedup_clusters_sql(DEDUP_CC_K)
+    o["doc_ngram_counts"] = _NGRAM_COUNTS_SQL
+    return o

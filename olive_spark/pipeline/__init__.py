@@ -8,6 +8,7 @@ All DataFrame-native or Arrow-vectorized; no per-row Python.
 """
 
 from olive_spark.pipeline.dedup import (
+    dedup_clusters,
     exact_duplicate_examples,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -31,6 +32,7 @@ from olive_spark.pipeline.similarity import (
 from olive_spark.pipeline.textstats import (
     document_fingerprint,
     language_id,
+    ngram_counts,
     quality_score,
     token_stats,
 )
@@ -41,6 +43,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_near_duplicates",
+    "dedup_clusters",
     "simhash_signatures",
     "ngram_jaccard_pairs",
     "cosine_scores",
@@ -51,6 +54,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_stats",
+    "ngram_counts",
     "document_fingerprint",
     "extract_features",
     "resize_images",

@@ -350,3 +350,51 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    iterations: int | None = None,
+) -> DataFrame:
+    """Collapse verified near-dup PAIRS into clusters and pick one
+    canonical document per cluster: (doc_id, canonical_id) for every
+    document, canonical_id = min doc_id of its cluster (singletons map
+    to themselves).
+
+    This is the final step of web-scale dedup: pair lists (from
+    minhash_near_duplicates / embedding_near_duplicates) are not
+    directly actionable — near-duplication is transitive in practice
+    (A~B, B~C) and the keep/drop decision needs one representative per
+    cluster. Clustering = connected components over the pair graph,
+    which reuses the engine's min-label Pregel CC (algorithms/cc.py) —
+    the pair graph has ~duplicate-rate x |docs| edges, far smaller than
+    the corpus, and the min-label fixpoint is the deterministic
+    canonical choice.
+
+    iterations=None runs CC to convergence (unique fixpoint); a fixed
+    iteration count gives bounded-round semantics for oracle parity.
+    """
+    from olive_spark.algorithms.cc import (
+        connected_components,
+        connected_components_fixed,
+    )
+    from olive_spark.graph import Graph
+
+    spark = docs.sparkSession
+    ids = docs.select(F.col(doc_col).cast("long").alias("id")).distinct()
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = Graph.from_edges(spark, edges, vertices=ids)
+    if iterations is None:
+        res = connected_components(g)
+    else:
+        res = connected_components_fixed(g, iterations=iterations)
+    out = res.state.select(
+        F.col("id").alias(doc_col), F.col("component").alias("canonical_id")
+    )
+    return out

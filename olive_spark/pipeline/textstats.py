@@ -139,3 +139,46 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.xxhash64(F.col(text_col)).alias("xxh64"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table:
+    (ngram, n_docs, n_occurrences), occurrences counted with
+    multiplicity, filtered to n_occurrences >= min_count.
+
+    The standard corpus-statistics pass of an LM data pipeline
+    (boilerplate discovery, contamination screening, vocabulary
+    coverage). Scale shape: the flat-map explode is the only row
+    amplification (x ~doc_len), and the groupBy's map-side partial
+    aggregation collapses high-frequency grams before the shuffle —
+    the exchange carries per-partition distinct grams, not token
+    occurrences. min_count prunes the long tail right after the
+    aggregate (typically >90% of distinct grams are hapax).
+
+    Uses the same text normalization as the dedup shingle pass
+    (lowercase, non-alphanumeric -> space), so gram tables and shingle
+    tables are joinable. Single-word documents yield one degenerate
+    short gram (same convention as dedup.shingles).
+    """
+    from olive_spark.pipeline.dedup import _normalized_words
+
+    words = _normalized_words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .filter(F.length("ngram") > 0)
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
