@@ -119,6 +119,12 @@ def main():
     timed("bfs", lambda: bfs(g_tri, source=0).state.count())
     timed("triangles", lambda: triangle_count(g_tri))
 
+    # -- HITS: the bidirectional-join workload (auth along forward edges,
+    # hub along reverse) over the bipartite graph ------------------------
+    from olive_spark.algorithms.hits import hits
+
+    timed("hits3_tpch", lambda: hits(g_bi, iterations=3).count())
+
     # -- ingest path ------------------------------------------------------
     def run_ingest():
         n, e = chain_graph(20_000)

@@ -375,6 +375,13 @@ def dedup_clusters(
 
     iterations=None runs CC to convergence (unique fixpoint); a fixed
     iteration count gives bounded-round semantics for oracle parity.
+
+    Scale shape: the ITERATIVE state covers only pair-graph members
+    (docs appearing in >= 1 pair — duplicate-rate x corpus, typically
+    orders of magnitude smaller than the corpus); the corpus-sized part
+    is a single non-iterative left join mapping singletons to
+    themselves at the end. Running the superstep loop over all 10^12
+    corpus rows when 10^9 participate in pairs would waste every round.
     """
     from olive_spark.algorithms.cc import (
         connected_components,
@@ -383,18 +390,26 @@ def dedup_clusters(
     from olive_spark.graph import Graph
 
     spark = docs.sparkSession
-    ids = docs.select(F.col(doc_col).cast("long").alias("id")).distinct()
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("src"),
         F.col("doc_b").cast("long").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
-    g = Graph.from_edges(spark, edges, vertices=ids)
+    members = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    g = Graph.from_edges(spark, edges, vertices=members)
     if iterations is None:
         res = connected_components(g)
     else:
         res = connected_components_fixed(g, iterations=iterations)
-    out = res.state.select(
+    clusters = res.state.select(
         F.col("id").alias(doc_col), F.col("component").alias("canonical_id")
     )
-    return out
+    ids = docs.select(F.col(doc_col).cast("long").alias(doc_col)).distinct()
+    return ids.join(clusters, doc_col, "left").select(
+        doc_col,
+        F.coalesce("canonical_id", F.col(doc_col)).alias("canonical_id"),
+    )
