@@ -902,8 +902,9 @@ def _hits_sql(k: int) -> str:
 def _ppr_sql(k: int, sources: list[int]) -> str:
     """Unrolled k-iteration personalized PageRank: teleport mass goes
     only to the seed set (pref = 1/|S| on seeds, 0 elsewhere)."""
-    src_list = ", ".join(str(s) for s in sources)
-    pref = 1.0 / len(sources)
+    srcs = sorted(set(sources))  # match personalized_pagerank's dedup
+    src_list = ", ".join(str(s) for s in srcs)
+    pref = 1.0 / len(srcs)
     pref_of = f"CASE WHEN {{col}} IN ({src_list}) THEN {pref!r} ELSE 0.0 END"
     ctes = [
         f"e AS MATERIALIZED ({TESTDATA_EDGES_SQL})",

@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+
+def _iters(args, default: int) -> int:
+    """--iterations with an explicit 0 honored (``or`` would treat 0 as
+    unset and silently run the default)."""
+    return default if args.iterations is None else args.iterations
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -93,7 +100,7 @@ def main(argv=None):
         from olive_spark.algorithms.pagerank import pagerank
 
         res = pagerank(graph, damping=args.damping, epsilon=args.epsilon,
-                       max_iterations=args.iterations or 100, **kw)
+                       max_iterations=_iters(args, 100), **kw)
         out, meta = res.state, {"supersteps": res.supersteps, "converged": res.converged}
     elif args.app == "cc":
         if args.variant == "stars":
@@ -110,7 +117,7 @@ def main(argv=None):
     elif args.app == "labelprop":
         from olive_spark.algorithms.labelprop import label_propagation
 
-        res = label_propagation(graph, iterations=args.iterations or 10, **kw)
+        res = label_propagation(graph, iterations=_iters(args, 10), **kw)
         out, meta = res.state, {"supersteps": res.supersteps}
     elif args.app == "bfs":
         from olive_spark.algorithms.bfs import bfs
@@ -147,21 +154,22 @@ def main(argv=None):
     elif args.app == "hits":
         from olive_spark.algorithms.hits import hits
 
-        out = hits(graph, iterations=args.iterations or 20)
-        meta = {"iterations": args.iterations or 20}
+        n_it = _iters(args, 20)
+        out = hits(graph, iterations=n_it)
+        meta = {"iterations": n_it}
     elif args.app == "ppr":
         from olive_spark.algorithms.pagerank import personalized_pagerank
 
         seeds = [int(s) for s in args.sources.split(",") if s.strip()]
         res = personalized_pagerank(
             graph, sources=seeds, damping=args.damping, epsilon=args.epsilon,
-            max_iterations=args.iterations or 100, **kw)
+            max_iterations=_iters(args, 100), **kw)
         out, meta = res.state, {"supersteps": res.supersteps,
                                 "converged": res.converged, "sources": seeds}
     elif args.app == "kcore":
         from olive_spark.algorithms.kcore import kcore
 
-        res = kcore(graph, k=args.k, max_rounds=args.iterations or 100)
+        res = kcore(graph, k=args.k, max_rounds=_iters(args, 100))
         out, meta = res.state, {"rounds": res.rounds,
                                 "converged": res.converged, "k": args.k}
     elif args.app == "hostgraph":

@@ -43,7 +43,9 @@ def test_cli_hits(spark, grid_inputs, tmp_path):
     rows = {r["id"]: r for r in spark.read.parquet(out).collect()}
     exp_hub, exp_auth = oracle.hits_fixed(n, e, iterations=3)
     got_hub = np.array([rows[i]["hub"] for i in range(n)])
+    got_auth = np.array([rows[i]["auth"] for i in range(n)])
     assert np.allclose(got_hub, exp_hub, atol=1e-9)
+    assert np.allclose(got_auth, exp_auth, atol=1e-9)
 
 
 def test_cli_ppr(spark, grid_inputs, tmp_path):

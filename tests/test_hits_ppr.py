@@ -42,6 +42,26 @@ def test_hits_parity(spark, fix):
     assert np.allclose(_vec(rows, n, "auth"), exp_auth, atol=1e-9)
 
 
+def test_hits_zero_iterations_raises(spark):
+    """ADVICE r2: iterations=0 used to crash with auth=None at the final
+    join; now it is rejected up front."""
+    n, e = ordered_graph_9()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    with pytest.raises(ValueError):
+        hits(g, iterations=0)
+
+
+def test_reversed_edges_layout(spark):
+    """Graph.reversed_edges(): same multiset of edges with src/dst
+    swapped, weights preserved, duplicates kept."""
+    n, e = ordered_graph_9()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    fwd = sorted((r["src"], r["dst"], r["weight"]) for r in g.edges.collect())
+    rev = sorted((r["dst"], r["src"], r["weight"])
+                 for r in g.reversed_edges().collect())
+    assert fwd == rev
+
+
 def test_hits_star_shape(spark):
     """On the star graph the center receives links from every spoke, so
     it dominates authority; hub scores are symmetric (every spoke points
