@@ -216,6 +216,7 @@ def pregel(
     checkpoint_every: int = 1,
     broadcast_threshold: int = 1_000_000,
     collect_partition_metrics: bool = False,
+    collect_shuffle_metrics: bool = True,
     resume: bool = False,
 ) -> PregelResult:
     """Run the superstep loop (driver-side while, PageRank.cu:122-133).
@@ -226,6 +227,9 @@ def pregel(
     (north rule); otherwise lineage is truncated with localCheckpoint.
     resume=True picks up from the store's latest committed superstep —
     a resumed run is bit-identical to a straight run (tested).
+    collect_shuffle_metrics adds per-superstep shuffle read/write bytes
+    and comp/comm time splits (olive.h:131-150) to the metrics — a
+    driver-side AppStatusStore read per superstep, no executor cost.
     """
     with stable_partitioning(graph.edges.sparkSession):
         return _pregel_impl(
@@ -236,6 +240,7 @@ def pregel(
             checkpoint_every,
             broadcast_threshold,
             collect_partition_metrics,
+            collect_shuffle_metrics,
             resume,
         )
 
@@ -248,10 +253,18 @@ def _pregel_impl(
     checkpoint_every: int,
     broadcast_threshold: int,
     collect_partition_metrics: bool,
+    collect_shuffle_metrics: bool,
     resume: bool,
 ) -> PregelResult:
     spark = graph.edges.sparkSession
     edges = graph.edges
+    shuffle_collector = None
+    if collect_shuffle_metrics:
+        from olive_spark.metrics import SuperstepMetricsCollector
+
+        shuffle_collector = SuperstepMetricsCollector(
+            spark, prefix=f"olive-superstep-{id(graph):x}-"
+        )
     state_cols = list(program.init.keys())
     frontier_driven = not program.full_frontier
     # The frontier lives IN the state as the `_active` boolean column
@@ -306,6 +319,10 @@ def _pregel_impl(
 
     while superstep < max_iterations:
         t0 = time.monotonic()
+        if shuffle_collector is not None:
+            # every job this superstep submits (durable checkpoint write
+            # + the barrier action) carries this superstep's group tag
+            shuffle_collector.tag(superstep + 1)
 
         # ---- edge phase: gather + reduce --------------------------------
         # Join-strategy policy (measured, see BENCH.md): the active-state
@@ -418,6 +435,10 @@ def _pregel_impl(
                     F.spark_partition_id().alias("partition_id")
                 ).agg(F.count("*").alias("rows")).collect()
             ]
+        if shuffle_collector is not None:
+            # comp/comm split (olive.h:131-150): shuffle bytes + waits
+            # (comm) and executor run/cpu net of shuffle time (comp)
+            step_metrics.update(shuffle_collector.collect(superstep))
         step_metrics["ms"] = (time.monotonic() - t0) * 1000.0
         metrics.append(step_metrics)
         if checkpoint_store is not None and durable:
@@ -425,6 +446,9 @@ def _pregel_impl(
 
         if converged:
             break
+
+    if shuffle_collector is not None:
+        shuffle_collector.clear()
 
     result_state = state.select("id", *[c for c in state_cols if c != "_active"])
     return PregelResult(

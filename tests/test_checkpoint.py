@@ -33,6 +33,46 @@ def test_checkpoint_and_lineage(spark, tmp_path):
     assert all(v == n for v in per_step.values())
 
 
+def test_superstep_shuffle_metrics(spark, tmp_path):
+    """comp/comm split per superstep (olive.h:131-150 analogue): the
+    multi-partition run must record nonzero shuffle read+write bytes
+    and executor time for every superstep, both in PregelResult.metrics
+    and in the CheckpointStore supersteps log."""
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt_sh"), run_id="rsh")
+    res = pagerank(g, epsilon=None, max_iterations=3, checkpoint_store=store)
+    assert len(res.metrics) == 3
+    for m in res.metrics:
+        assert m["shuffle_read_bytes"] > 0
+        assert m["shuffle_write_bytes"] > 0
+        assert m["executor_run_ms"] > 0
+        assert m["tasks"] > 0
+        assert m["comp_ms"] >= 0
+    logged = store.superstep_metrics()
+    assert len(logged) == 3
+    assert all(m["shuffle_read_bytes"] > 0 for m in logged)
+
+
+def test_shuffle_metrics_opt_out(spark):
+    """collect_shuffle_metrics=False keeps the metrics lean (bench mode)."""
+    from olive_spark.pregel import PregelProgram, pregel
+    from pyspark.sql import functions as F
+
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    prog = PregelProgram(
+        init={"x": F.lit(0.0)},
+        gather=F.lit(1.0),
+        agg=F.sum,
+        update={"x": F.col("accum")},
+        accum_default=0.0,
+        full_frontier=True,
+    )
+    res = pregel(g, prog, max_iterations=2, collect_shuffle_metrics=False)
+    assert all("shuffle_read_bytes" not in m for m in res.metrics)
+
+
 def test_resume_equals_straight_run(spark, tmp_path):
     """Kill after superstep k, resume from checkpoint -> identical final
     state (north-rule resumability; SURVEY.md §5 property test)."""

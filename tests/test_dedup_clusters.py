@@ -75,6 +75,44 @@ def test_dedup_clusters_fixed_rounds(spark):
     assert gotc == {i: 0 for i in range(5)}
 
 
+def test_dedup_clusters_long_chain_stars(spark):
+    """Templated pages chain near-dups (A~B~C~...): a 10^4-doc pair
+    CHAIN has diameter 10^4, which min-label CC would need 10^4 rounds
+    to traverse. The default convergence path now uses large/small-star
+    contraction, which must reach the exact fixpoint within a
+    logarithmic round budget (2*log2(n) + slack ~ 30 rounds; the
+    max_rounds=50 default in connected_components_stars is already
+    comfortably log-scale). Correctness of the result under that budget
+    IS the O(log n) convergence evidence — an unconverged star forest
+    would map docs to non-minimum canonicals. Mirrors the reference's
+    chain fixture discipline (data/chainGraph_1K)."""
+    from olive_spark.pipeline.dedup import dedup_clusters
+
+    n = 10_000
+    docs = spark.range(n).selectExpr("id AS doc_id", "'t' AS text")
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    out = dedup_clusters(docs, pairs)
+    assert out.filter("canonical_id != 0").count() == 0
+    assert out.count() == n
+
+
+def test_dedup_clusters_method_validation(spark):
+    from olive_spark.pipeline.dedup import dedup_clusters
+
+    docs = docs_df(spark, ["a", "b"])
+    pairs = spark.createDataFrame(pd.DataFrame({"doc_a": [0], "doc_b": [1]}))
+    with pytest.raises(ValueError):
+        dedup_clusters(docs, pairs, method="nope")
+    with pytest.raises(ValueError):
+        dedup_clusters(docs, pairs, iterations=2, method="stars")
+    # explicit minlabel convergence path still works
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(docs, pairs, method="minlabel").collect()
+    }
+    assert got == {0: 0, 1: 0}
+
+
 def test_ngram_counts(spark):
     from olive_spark.pipeline.textstats import ngram_counts
 

@@ -48,3 +48,64 @@ def test_catalog_ident_without_catalog_raises(spark):
 
     with pytest.raises(AnalysisException):
         read_table(spark, "lake.db.missing_table").collect()
+
+
+class _WriteToRecorder:
+    """Stands in for DataFrameWriterV2: records the Iceberg call chain."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def using(self, fmt):
+        self.log.append(("using", fmt))
+        return self
+
+    def createOrReplace(self):
+        self.log.append(("createOrReplace",))
+
+    def append(self):
+        self.log.append(("append",))
+
+
+def test_iceberg_write_branch_call_chain(spark, monkeypatch):
+    """The sandbox has no Iceberg jar, so the writeTo branch cannot hit
+    a real catalog — but its call chain CAN be exercised: write_table on
+    a table identifier must route through df.writeTo(ident) with
+    using("iceberg") + createOrReplace (overwrite) or append (append),
+    and must NOT touch the parquet writer. On a real cluster with the
+    iceberg-spark-runtime jar this is exactly the V2 snapshot-commit
+    path."""
+    df = spark.range(3)
+    log = []
+    # patch the CONCRETE class (PySpark 4 routes through
+    # pyspark.sql.classic.DataFrame, which overrides the base)
+    monkeypatch.setattr(
+        type(df), "writeTo",
+        lambda self, ident: (log.append(("writeTo", ident)), _WriteToRecorder(log))[1],
+    )
+
+    write_table(df, "lake.db.pages")
+    assert log == [("writeTo", "lake.db.pages"), ("using", "iceberg"),
+                   ("createOrReplace",)]
+
+    log.clear()
+    write_table(df, "lake.db.pages", mode="append")
+    assert log == [("writeTo", "lake.db.pages"), ("append",)]
+
+    # paths must bypass writeTo entirely (parquet branch)
+    log.clear()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        write_table(df, os.path.join(d, "t"))
+        assert log == []
+
+
+def test_read_table_identifier_uses_catalog(spark):
+    """read_table on an identifier goes through the session catalog —
+    proven with a temp view (no Iceberg needed for the routing)."""
+    spark.range(5).selectExpr("id AS x").createOrReplaceTempView("io_probe_view")
+    try:
+        got = read_table(spark, "io_probe_view")
+        assert sorted(r["x"] for r in got.collect()) == list(range(5))
+    finally:
+        spark.catalog.dropTempView("io_probe_view")
