@@ -38,14 +38,24 @@ def pagerank(
     one_over_n = 1.0 / n
     add_constant = (1.0 - damping) * one_over_n
 
+    # delta exists only to drive convergence (PR_vertex_F records it for
+    # the vertexReduce fold, PageRank.cu:69-74). With epsilon=None
+    # (fixed-round/bench runs) it is dead state: dropping it narrows the
+    # per-superstep snapshot — the V-proportional weakly-scaling term —
+    # by one double column and one subtraction per row.
+    init = {"rank": F.lit(one_over_n)}
+    update = {"rank": F.lit(damping) * ACCUM() + F.lit(add_constant)}
+    if epsilon is not None:
+        init["delta"] = F.lit(one_over_n)
+        update["delta"] = (
+            F.lit(damping) * ACCUM() + F.lit(add_constant) - F.col("rank")
+        )
+
     program = PregelProgram(
-        init={"rank": F.lit(one_over_n), "delta": F.lit(one_over_n)},
+        init=init,
         gather=src("rank") / src("outdeg"),
         agg=F.sum,
-        update={
-            "rank": F.lit(damping) * ACCUM() + F.lit(add_constant),
-            "delta": F.lit(damping) * ACCUM() + F.lit(add_constant) - F.col("rank"),
-        },
+        update=update,
         cond=None,
         accum_default=0.0,  # vertices with no in-edges gather 0 (oliver.h:127)
         full_frontier=True,
@@ -105,17 +115,24 @@ def personalized_pagerank(
         F.when(F.col("id").isin(srcs), F.lit(pref)).otherwise(F.lit(0.0))
     )
 
+    # delta only with epsilon (same dead-state elimination as pagerank())
+    init = {"pref": pref_expr, "rank": pref_expr}
+    update = {
+        "rank": F.lit(damping) * ACCUM() + F.lit(1.0 - damping) * F.col("pref"),
+    }
+    if epsilon is not None:
+        init["delta"] = pref_expr
+        update["delta"] = (
+            F.lit(damping) * ACCUM()
+            + F.lit(1.0 - damping) * F.col("pref")
+            - F.col("rank")
+        )
+
     program = PregelProgram(
-        init={"pref": pref_expr, "rank": pref_expr, "delta": pref_expr},
+        init=init,
         gather=src("rank") / src("outdeg"),
         agg=F.sum,
-        update={
-            "rank": F.lit(damping) * ACCUM()
-            + F.lit(1.0 - damping) * F.col("pref"),
-            "delta": F.lit(damping) * ACCUM()
-            + F.lit(1.0 - damping) * F.col("pref")
-            - F.col("rank"),
-        },
+        update=update,
         cond=None,
         accum_default=0.0,
         full_frontier=True,
@@ -161,14 +178,20 @@ def weighted_pagerank(
 
     from olive_spark.pregel import edge
 
+    # same dead-state elimination as pagerank(): delta only with epsilon
+    init = {"rank": F.lit(one_over_n)}
+    update = {"rank": F.lit(damping) * ACCUM() + F.lit(add_constant)}
+    if epsilon is not None:
+        init["delta"] = F.lit(one_over_n)
+        update["delta"] = (
+            F.lit(damping) * ACCUM() + F.lit(add_constant) - F.col("rank")
+        )
+
     program = PregelProgram(
-        init={"rank": F.lit(one_over_n), "delta": F.lit(one_over_n)},
+        init=init,
         gather=src("rank") * edge("weight"),
         agg=F.sum,
-        update={
-            "rank": F.lit(damping) * ACCUM() + F.lit(add_constant),
-            "delta": F.lit(damping) * ACCUM() + F.lit(add_constant) - F.col("rank"),
-        },
+        update=update,
         cond=None,
         accum_default=0.0,
         full_frontier=True,

@@ -180,6 +180,24 @@ class PregelResult:
         _free_checkpoint(self._raw_state or self.state)
 
 
+def _local_ckpt(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint with an optionally overridden storage level.
+
+    OLIVE_SNAPSHOT_LEVEL (e.g. MEMORY_ONLY) overrides Spark's
+    MEMORY_AND_DISK default for the per-superstep snapshots — the
+    V-proportional weakly-scaling term in the superstep (BENCH.md);
+    read per call so benchmarks can A/B it without re-importing.
+    """
+    import os
+
+    level = os.environ.get("OLIVE_SNAPSHOT_LEVEL")
+    if level:
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(eager=False, storageLevel=getattr(StorageLevel, level))
+    return df.localCheckpoint(eager=False)
+
+
 def _free_checkpoint(df: DataFrame | None) -> None:
     """Unpersist the RDD behind a localCheckpointed DataFrame.
 
@@ -307,7 +325,7 @@ def _pregel_impl(
         # lazy localCheckpoint: the first action on it materializes the
         # snapshot — so the seed-frontier count below doubles as the
         # materialization job (one job, not two).
-        state = state.repartition(graph.num_partitions, "id").localCheckpoint(eager=False)
+        state = _local_ckpt(state.repartition(graph.num_partitions, "id"))
         if frontier_driven:
             n = state.agg(F.sum(F.col("_active").cast("long")).alias("n")).first()["n"]
             frontier_size = int(n or 0)
@@ -390,7 +408,7 @@ def _pregel_impl(
             # write is the materializing action on the durable path.
             new_state, _ = checkpoint_store.checkpoint(superstep + 1, new_state, None)
         else:
-            new_state = new_state.localCheckpoint(eager=False)
+            new_state = _local_ckpt(new_state)
 
         # ---- the ONE barrier action per superstep ------------------------
         # Materializes the (lazy) snapshot, counts the next frontier, and
