@@ -93,15 +93,22 @@ def gather_sum(
     PageRank gather, PageRank.cu:53-55); it is then repeated along each
     src's out-edges and reduced by dst. Returns (id, accum) partials
     fully reduced (sum or min).
+
+    FRONTIER-DRIVEN by construction: only srcs present in ``state`` are
+    gathered from (missing srcs are masked out of the edge walk, the
+    CSR twin of the workset gate in oliverKernel.h:148-178) — pass the
+    full state for edgeMap semantics, or just the active rows for
+    edgeFilter semantics (BFS/CC frontiers).
     """
     st = state.select("id", value_col).withColumn(
         "pid", _pid(F.col("id"), num_partitions)
     )
 
     def run(block_it: pd.DataFrame, state_it: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                              "partial": pd.Series([], dtype="float64")})
         if len(block_it) == 0 or len(state_it) == 0:
-            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
-                                 "partial": pd.Series([], dtype="float64")})
+            return empty
         row = block_it.iloc[0]
         usrc = np.frombuffer(row["srcs"], dtype=np.int64)
         counts = np.frombuffer(row["outdeg"], dtype=np.int64)
@@ -114,6 +121,13 @@ def gather_sum(
             .reindex(usrc)
             .to_numpy(np.float64)
         )
+        # frontier mask: srcs absent from the passed state are inactive
+        active = ~np.isnan(vals)
+        if not active.all():
+            usrc, counts, vals = usrc[active], counts[active], vals[active]
+            dst = dst[np.repeat(active, np.frombuffer(row["outdeg"], dtype=np.int64))]
+        if len(usrc) == 0:
+            return empty
         per_src = kernel(vals, counts) if kernel else vals / counts
         per_edge = np.repeat(per_src, counts)
         s = pd.Series(per_edge)
@@ -130,6 +144,60 @@ def gather_sum(
     )
     agg = F.sum("partial") if reduce_op == "sum" else F.min("partial")
     return msgs.groupBy("id").agg(agg.alias("accum"))
+
+
+def bfs_csr(
+    graph: Graph,
+    source: int,
+    max_iterations: int = 10_000,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Frontier-driven BFS over CSR blocks (the edgeFilter/vertexFilter
+    pattern, BFS.cu:124-148): per superstep only the CURRENT frontier's
+    rows are shipped to the block cogroup, so late supersteps walk only
+    the frontier's out-edges — the CSR twin of the frontier-driven
+    DataFrame path (algorithms/bfs.py), equivalence-tested against it.
+    Returns (id, level) with unreached vertices at level 2^31-1."""
+    INF = (1 << 31) - 1
+    p = graph.num_partitions
+    if blocks is None:
+        blocks = build_blocks(graph)
+    from olive_spark.pregel import _free_checkpoint
+
+    state = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(INF)).alias("level"),
+    ).localCheckpoint(eager=True)
+    frontier_size = 1
+
+    it = 0
+    while frontier_size > 0 and it < max_iterations:
+        it += 1
+        frontier = state.filter(F.col("level") < INF).filter(
+            F.col("level") == it - 1
+        ).select("id", F.col("level").cast("double").alias("lv"))
+        acc = gather_sum(
+            blocks, frontier, "lv", p,
+            kernel=lambda vals, counts: vals + 1.0, reduce_op="min",
+        )
+        new_state = (
+            state.join(acc, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("accum").isNotNull()
+                    & (F.col("accum").cast("int") < F.col("level")),
+                    F.col("accum").cast("int"),
+                )
+                .otherwise(F.col("level"))
+                .alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier_size = new_state.filter(F.col("level") == it).count()
+        _free_checkpoint(state)
+        state = new_state
+    return state
 
 
 def pagerank_csr(

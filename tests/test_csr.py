@@ -6,9 +6,10 @@ import numpy as np
 import pytest
 
 from olive_spark import oracle
-from olive_spark.csr import build_blocks, gather_sum, pagerank_csr
+from olive_spark.csr import bfs_csr, build_blocks, gather_sum, pagerank_csr
 from olive_spark.fixtures import (
     acyclic_graph,
+    chain_graph,
     grid_graph,
     isolated_graph,
     maxflow_graph,
@@ -50,6 +51,51 @@ def test_blocks_shape(spark):
         assert len(np.unique(srcs)) == len(srcs)
         assert (np.diff(off) > 0).all()
         assert off[-1] == r["nnz"]
+    blocks.unpersist()
+
+
+@pytest.mark.parametrize(
+    "fix, source",
+    [(grid_graph(), 0), (chain_graph(20), 3), (star_graph(40), 1),
+     (acyclic_graph(15), 0), (isolated_graph(12), 0)],
+    ids=["grid", "chain20", "star40-from-spoke", "acyclic15", "isolated12"],
+)
+def test_bfs_csr_matches_oracle(spark, fix, source):
+    """Frontier-driven CSR BFS == serial oracle (levels exact): only the
+    active frontier's rows enter the block cogroup each superstep."""
+    n, e = fix
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    out = bfs_csr(g, source=source)
+    got = np.array([r["level"] for r in out.orderBy("id").collect()])
+    exp = oracle.bfs(n, e, source=source)
+    assert len(got) == n
+    assert np.array_equal(got, exp)
+
+
+def test_gather_sum_frontier_masks_inactive_srcs(spark):
+    """Passing only a subset of vertices as state gathers ONLY along
+    their out-edges (edgeFilter semantics, oliverKernel.h:148-178)."""
+    n, e = maxflow_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    blocks = build_blocks(g)
+    active = [v for v in range(n) if v % 3 == 0]
+    state = (g.degrees().filter(F.col("id").isin(active))
+             .withColumn("rank", (F.col("id") + 1).cast("double")))
+    got = {
+        r["id"]: r["accum"]
+        for r in gather_sum(blocks, state, "rank", g.num_partitions).collect()
+    }
+    j = state.alias("s").join(g.edges.alias("e"), F.col("s.id") == F.col("e.src"))
+    exp = {
+        r["id"]: r["accum"]
+        for r in j.select(
+            F.col("e.dst").alias("id"),
+            (F.col("s.rank") / F.col("s.outdeg")).alias("g"),
+        ).groupBy("id").agg(F.sum("g").alias("accum")).collect()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
     blocks.unpersist()
 
 
