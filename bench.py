@@ -1,7 +1,18 @@
 """Benchmark harness — one JSON line on stdout.
 
-Runs the headline graph workloads at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+DEFAULT MODE (what the per-round driver runs): the n>=3 interleaved
+fresh-JVM MEDIAN protocol (round-3 judge item #1 — single-shot sf0.1
+runs on this shared host are load-noise-dominated; the r3 driver bench
+sampled a load-avg-9.3 burst and read 2-3x slow across the board).
+Each repeat is `python bench.py --once` in a fresh subprocess (fresh
+JVM, fresh codegen); the summary line reports per-query MEDIANS (the
+round's performance record), per-query mins, every raw run, and the
+host 1-min load average around each run so a load burst is visible in
+the artifact itself rather than re-litigated next round.
+
+--once: one measured pass of the headline workloads at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32):
 
 - pagerank10_tpch: 10 supersteps over the testdata bipartite graph.
 - pagerank5_power: 5 supersteps over a deterministic synthetic
@@ -13,17 +24,21 @@ Runs the headline graph workloads at $SPARK_GRAFT_SF_DIR (default
   resolved graph -> degrees (the production input path).
 
 Output: {"metric": "edges_per_sec_per_superstep", "value": N,
-         "unit": "sec", "queries": {name: seconds}, "sf": ...}
+         "unit": "sec", "queries": {name: median_seconds}, "sf": ...,
+         "protocol": "median_of_n_fresh_jvm", "load_avg_1m": [...]}
+
+OLIVE_BENCH_REPEATS (default 3) controls n; OLIVE_BENCH_REPEATS=1 is a
+quick single-shot with the same output shape.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
-
-from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -31,6 +46,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 POWER_EDGES = int(os.environ.get("OLIVE_BENCH_EDGES", str(4_000_000)))
 POWER_VERTS = POWER_EDGES // 8
+REPEATS = int(os.environ.get("OLIVE_BENCH_REPEATS", "3"))
+
+
+from pyspark.sql import functions as F  # noqa: E402  (no JVM start on import)
 
 
 def synth_power_graph(spark, n_edges: int, n_vertices: int, partitions: int):
@@ -54,7 +73,7 @@ def synth_power_graph(spark, n_edges: int, n_vertices: int, partitions: int):
     return Graph.from_edges(spark, edges, vertices=verts, num_partitions=partitions)
 
 
-def main():
+def run_once():
     from olive_spark.session import get_spark
     from olive_spark.algorithms.pagerank import pagerank_fixed
     from olive_spark.algorithms.cc import connected_components
@@ -150,5 +169,66 @@ def main():
     }))
 
 
+def main_median(repeats: int):
+    """n fresh-JVM repeats of --once; one summary JSON line of medians.
+
+    Interleaved sequentially (run 1..n back-to-back): the subprocess
+    boundary guarantees fresh JVM/codegen per repeat, and the recorded
+    1-min load averages expose any external burst that hit a repeat.
+    """
+    here = os.path.abspath(__file__)
+    runs: list[dict] = []
+    loads: list[float] = []
+    for i in range(repeats):
+        loads.append(round(os.getloadavg()[0], 2))
+        out = subprocess.run(
+            [sys.executable, here, "--once"],
+            capture_output=True, text=True, cwd=os.path.dirname(here),
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise SystemExit(f"bench repeat {i + 1}/{repeats} failed")
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        runs.append(r)
+        sys.stderr.write(
+            f"# run {i + 1}/{repeats}: eps={r['value']:,} total={r['total_sec']}s "
+            f"load_1m_at_start={loads[-1]}\n"
+        )
+    loads.append(round(os.getloadavg()[0], 2))
+
+    queries = sorted(runs[0]["queries"])
+    med = {q: round(statistics.median(r["queries"][q] for r in runs), 3)
+           for q in queries}
+    headline = round(statistics.median(r["value"] for r in runs), 1)
+    summary = {
+        "metric": runs[0]["metric"],
+        "value": headline,
+        "unit": "sec",
+        "queries": med,
+        "sf": runs[0]["sf"],
+        "total_sec": round(sum(med.values()), 3),
+        "cpus": runs[0]["cpus"],
+        "power_graph_edges": runs[0]["power_graph_edges"],
+        "tpch_graph_edges": runs[0]["tpch_graph_edges"],
+        "edges_per_sec_per_superstep_power": headline,
+        "edges_per_sec_per_superstep_tpch": round(
+            statistics.median(r["edges_per_sec_per_superstep_tpch"] for r in runs), 1
+        ),
+        "protocol": "median_of_n_fresh_jvm",
+        "n_runs": repeats,
+        "best_value": round(max(r["value"] for r in runs), 1),
+        "queries_min": {q: round(min(r["queries"][q] for r in runs), 3)
+                        for q in queries},
+        "queries_runs": {q: [round(r["queries"][q], 3) for r in runs]
+                         for q in queries},
+        "load_avg_1m": loads,
+    }
+    print(json.dumps(summary))
+
+
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv[1:] or REPEATS <= 1:
+        run_once()
+    else:
+        main_median(REPEATS)

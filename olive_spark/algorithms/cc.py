@@ -67,7 +67,10 @@ def connected_components_fixed(graph: Graph, iterations: int) -> PregelResult:
 
 
 def connected_components_stars(
-    graph: Graph, max_rounds: int = 50, symmetrize: bool = True
+    graph: Graph,
+    max_rounds: int = 50,
+    symmetrize: bool = True,
+    round_metrics: list | None = None,
 ) -> "DataFrame":
     """Connected components via alternating large-star/small-star
     contraction — O(log n) rounds instead of O(diameter) supersteps.
@@ -86,7 +89,13 @@ def connected_components_stars(
 
     Returns a DataFrame (id, component) — exact, same contract as
     `connected_components(...).state`.
+
+    round_metrics: optional caller-supplied list; one dict per
+    contraction round is appended ({round, edges, ms}) so scale runs
+    can record the O(log n) convergence directly (the per-round edge
+    count comes from the convergence checksum — no extra job).
     """
+    import time as _time
     from pyspark.sql import DataFrame
 
     spark = graph.edges.sparkSession
@@ -141,7 +150,8 @@ def connected_components_stars(
     # re-exchanges at reduced parallelism)
     with stable_partitioning(spark):
         prev_sum = checksum(edges)
-        for _ in range(max_rounds):
+        for rnd in range(max_rounds):
+            t0 = _time.monotonic()
             ls = large_star(edges)
             ss = small_star(
                 ls.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
@@ -155,6 +165,14 @@ def connected_components_stars(
             new_sum = checksum(new_edges)
             _free_checkpoint(edges)
             edges = new_edges
+            if round_metrics is not None:
+                round_metrics.append(
+                    {
+                        "round": rnd + 1,
+                        "edges": int(new_sum[0]),
+                        "ms": round((_time.monotonic() - t0) * 1000.0, 1),
+                    }
+                )
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum

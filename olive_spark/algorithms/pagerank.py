@@ -88,9 +88,16 @@ def pagerank_fixed(graph: Graph, iterations: int, damping: float = 0.85) -> Preg
     return res
 
 
+#: seed lists at or below this size are inlined as an `isin` literal
+#: (cheapest: no extra scan or broadcast build); above it, or for a
+#: DataFrame seed set, a broadcast semi-join supplies the pref column so
+#: a 10^5+ seed set never bloats the plan or analysis time.
+PPR_SEED_LITERAL_MAX = 1000
+
+
 def personalized_pagerank(
     graph: Graph,
-    sources: list[int],
+    sources,
     damping: float = 0.85,
     epsilon: float | None = 1e-7,
     max_iterations: int = 100,
@@ -100,20 +107,50 @@ def personalized_pagerank(
     with restart): rank = d * gathered + (1-d) * pref(v), where
     pref(v) = 1/|S| for v in sources, else 0.
 
+    ``sources`` is a Python list of vertex ids OR a DataFrame with an
+    ``id`` column (deduplicated here either way). Small lists become an
+    `isin` literal; large lists and DataFrames become a broadcast
+    left join in the init base (pregel's ``vertex_attrs`` hook) — same
+    semantics, no plan literals at any seed cardinality.
+
     Same plan shape and cost as global PageRank — the preference vector
     is one extra static DOUBLE column in the vertex state (no extra
-    join, no extra shuffle). This is the standard seeded-relevance query
-    over a link graph (e.g. ranking pages relative to a trusted seed
-    set); the reference's PageRank app generalizes to it by changing
-    only the init/update constants (PageRank.cu:77-87,63-75).
+    per-superstep join or shuffle). This is the standard
+    seeded-relevance query over a link graph (e.g. ranking pages
+    relative to a trusted seed set); the reference's PageRank app
+    generalizes to it by changing only the init/update constants
+    (PageRank.cu:77-87,63-75).
     """
-    srcs = sorted(set(int(s) for s in sources))
-    if not srcs:
-        raise ValueError("sources must be non-empty")
-    pref = 1.0 / len(srcs)
-    pref_expr = (
-        F.when(F.col("id").isin(srcs), F.lit(pref)).otherwise(F.lit(0.0))
-    )
+    from pyspark.sql import DataFrame
+
+    vertex_attrs = None
+    if isinstance(sources, DataFrame):
+        seed_df = sources.select(F.col("id").cast("long").alias("id")).distinct()
+        n_seeds = seed_df.count()  # one tiny job on the (small) seed side
+        if n_seeds == 0:
+            raise ValueError("sources must be non-empty")
+        pref = 1.0 / n_seeds
+        vertex_attrs = seed_df.withColumn("_is_seed", F.lit(True))
+        pref_expr = F.when(
+            F.coalesce(F.col("_is_seed"), F.lit(False)), F.lit(pref)
+        ).otherwise(F.lit(0.0))
+    else:
+        srcs = sorted(set(int(s) for s in sources))
+        if not srcs:
+            raise ValueError("sources must be non-empty")
+        pref = 1.0 / len(srcs)
+        if len(srcs) <= PPR_SEED_LITERAL_MAX:
+            pref_expr = (
+                F.when(F.col("id").isin(srcs), F.lit(pref)).otherwise(F.lit(0.0))
+            )
+        else:
+            spark = graph.edges.sparkSession
+            vertex_attrs = spark.createDataFrame(
+                [(s,) for s in srcs], schema="id long"
+            ).withColumn("_is_seed", F.lit(True))
+            pref_expr = F.when(
+                F.coalesce(F.col("_is_seed"), F.lit(False)), F.lit(pref)
+            ).otherwise(F.lit(0.0))
 
     # delta only with epsilon (same dead-state elimination as pagerank())
     init = {"pref": pref_expr, "rank": pref_expr}
@@ -143,7 +180,13 @@ def personalized_pagerank(
             else None
         ),
     )
-    return pregel(graph, program, max_iterations=max_iterations, **kwargs)
+    return pregel(
+        graph,
+        program,
+        max_iterations=max_iterations,
+        vertex_attrs=vertex_attrs,
+        **kwargs,
+    )
 
 
 def weighted_pagerank(

@@ -85,14 +85,17 @@ def gather_sum(
     num_partitions: int,
     kernel: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
     reduce_op: str = "sum",
+    edge_kernel: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
 ) -> DataFrame:
     """One edge-expansion pass over the CSR blocks.
 
     state must contain (id, <value_col>). kernel(values_per_src,
     outdeg_per_src) -> per-SRC gather value (default: value/outdeg, the
     PageRank gather, PageRank.cu:53-55); it is then repeated along each
-    src's out-edges and reduced by dst. Returns (id, accum) partials
-    fully reduced (sum or min).
+    src's out-edges and reduced by dst. edge_kernel(per_edge_src_vals,
+    edge_weights) -> per-EDGE gather value, applied after the per-src
+    repeat — the weighted-gather hook (SSSP.cu:56-58's dist + weight).
+    Returns (id, accum) partials fully reduced (sum or min).
 
     FRONTIER-DRIVEN by construction: only srcs present in ``state`` are
     gathered from (missing srcs are masked out of the edge walk, the
@@ -113,26 +116,40 @@ def gather_sum(
         usrc = np.frombuffer(row["srcs"], dtype=np.int64)
         counts = np.frombuffer(row["outdeg"], dtype=np.int64)
         dst = np.frombuffer(row["dsts"], dtype=np.int64)
-        vals = (
-            pd.Series(
-                state_it[value_col].to_numpy(np.float64),
-                index=state_it["id"].to_numpy(np.int64),
-            )
-            .reindex(usrc)
-            .to_numpy(np.float64)
+        series = pd.Series(
+            state_it[value_col].to_numpy(np.float64),
+            index=state_it["id"].to_numpy(np.int64),
         )
-        # frontier mask: srcs absent from the passed state are inactive
-        active = ~np.isnan(vals)
+        w = (
+            np.frombuffer(row["weights"], dtype=np.float64)
+            if edge_kernel is not None
+            else None
+        )
+        # frontier mask by MEMBERSHIP, not NaN sentinel: a src whose
+        # state value is genuinely NaN must still propagate NaN, not be
+        # silently treated as absent from the frontier.
+        active = pd.Index(usrc).isin(series.index)
+        vals = series.reindex(usrc).to_numpy(np.float64)
         if not active.all():
+            edge_mask = np.repeat(active, counts)
+            dst = dst[edge_mask]
+            if w is not None:
+                w = w[edge_mask]
             usrc, counts, vals = usrc[active], counts[active], vals[active]
-            dst = dst[np.repeat(active, np.frombuffer(row["outdeg"], dtype=np.int64))]
         if len(usrc) == 0:
             return empty
         per_src = kernel(vals, counts) if kernel else vals / counts
         per_edge = np.repeat(per_src, counts)
+        if edge_kernel is not None:
+            per_edge = edge_kernel(per_edge, w)
         s = pd.Series(per_edge)
         grouped = s.groupby(dst)
         partial = grouped.sum() if reduce_op == "sum" else grouped.min()
+        # pandas groupby reduces skip NaN; propagate it explicitly so a
+        # NaN state value poisons its dsts (membership-mask contract)
+        nan_mask = np.isnan(per_edge)
+        if nan_mask.any():
+            partial[np.unique(dst[nan_mask])] = np.nan
         return pd.DataFrame(
             {"id": partial.index.to_numpy(np.int64), "partial": partial.to_numpy()}
         )
@@ -142,7 +159,14 @@ def gather_sum(
         .cogroup(st.groupBy("pid"))
         .applyInPandas(lambda b, s: run(b, s), schema="id long, partial double")
     )
-    agg = F.sum("partial") if reduce_op == "sum" else F.min("partial")
+    # The Arrow boundary converts a pandas NaN partial to NULL; `partial`
+    # has no other null source, so a null here IS the NaN poison from a
+    # NaN-valued src — re-materialize it as NaN instead of letting
+    # sum/min silently skip it (membership-mask contract).
+    agg_fn = F.sum if reduce_op == "sum" else F.min
+    agg = F.when(
+        F.count(F.lit(1)) > F.count("partial"), F.lit(float("nan"))
+    ).otherwise(agg_fn(F.col("partial")))
     return msgs.groupBy("id").agg(agg.alias("accum"))
 
 
@@ -160,7 +184,8 @@ def bfs_csr(
     Returns (id, level) with unreached vertices at level 2^31-1."""
     INF = (1 << 31) - 1
     p = graph.num_partitions
-    if blocks is None:
+    own_blocks = blocks is None
+    if own_blocks:
         blocks = build_blocks(graph)
     from olive_spark.pregel import _free_checkpoint
 
@@ -197,7 +222,124 @@ def bfs_csr(
         frontier_size = new_state.filter(F.col("level") == it).count()
         _free_checkpoint(state)
         state = new_state
+    if own_blocks:
+        # the returned state is checkpointed — safe to drop the cached
+        # E-sized block table we built internally (leak fix, ADVICE r3)
+        blocks.unpersist()
     return state
+
+
+def cc_csr(
+    graph: Graph,
+    max_iterations: int = 10_000,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Connected components (min-label propagation) over CSR blocks —
+    identical semantics to algorithms.cc.connected_components: the
+    adjacency is symmetrized once, labels start at id, and per superstep
+    only the CHANGED vertices (the frontier) gather along their
+    out-edges with a min reduce. Returns (id, component).
+
+    When ``blocks`` is supplied it must be built over the SYMMETRIZED
+    edge table; when None, it is built (and freed) internally.
+    """
+    p = graph.num_partitions
+    own_blocks = blocks is None
+    sym = None
+    if own_blocks:
+        sym = graph.symmetrized()
+        blocks = build_blocks(sym, num_partitions=p)
+    from olive_spark.pregel import _free_checkpoint
+
+    state = graph.vertices.select(
+        "id", F.col("id").cast("double").alias("component")
+    ).localCheckpoint(eager=True)
+    # round 0: every vertex is in the frontier (it just "changed" to id)
+    frontier = state.select("id", F.col("component").alias("comp"))
+    frontier_size = 1
+    it = 0
+    while frontier_size > 0 and it < max_iterations:
+        it += 1
+        acc = gather_sum(blocks, frontier, "comp", p, kernel=lambda v, c: v, reduce_op="min")
+        joined = state.join(acc, "id", "left")
+        new_state = joined.select(
+            "id",
+            F.when(
+                F.col("accum").isNotNull() & (F.col("accum") < F.col("component")),
+                F.col("accum"),
+            ).otherwise(F.col("component")).alias("component"),
+            (F.col("accum").isNotNull() & (F.col("accum") < F.col("component"))).alias("_chg"),
+        ).localCheckpoint(eager=True)
+        frontier_size = int(
+            new_state.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+        )
+        frontier = new_state.filter(F.col("_chg")).select(
+            "id", F.col("component").alias("comp")
+        )
+        _free_checkpoint(state)
+        state = new_state
+    out = state.select("id", F.col("component").cast("long").alias("component"))
+    if own_blocks:
+        blocks.unpersist()
+        if sym is not None:
+            sym.unpersist()
+    return out
+
+
+def sssp_csr(
+    graph: Graph,
+    source: int,
+    max_iterations: int | None = None,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted SSSP (Bellman-Ford, frontier pruning) over CSR blocks —
+    identical semantics to algorithms.sssp.sssp_weighted: gather =
+    dist[src] + weight (the edge_kernel hook), reduce = min, frontier =
+    vertices whose distance improved. Returns (id, distance) with
+    unreached = +Infinity."""
+    INF = float("inf")
+    p = graph.num_partitions
+    own_blocks = blocks is None
+    if own_blocks:
+        blocks = build_blocks(graph)
+    if max_iterations is None:
+        max_iterations = graph.vertex_count()
+    from olive_spark.pregel import _free_checkpoint
+
+    state = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(INF)).alias("distance"),
+    ).localCheckpoint(eager=True)
+    frontier = state.filter(F.col("distance") == 0.0).select(
+        "id", F.col("distance").alias("d")
+    )
+    frontier_size = 1
+    it = 0
+    while frontier_size > 0 and it < max_iterations:
+        it += 1
+        acc = gather_sum(
+            blocks, frontier, "d", p,
+            kernel=lambda v, c: v,
+            edge_kernel=lambda per_edge, w: per_edge + w,
+            reduce_op="min",
+        )
+        joined = state.join(acc, "id", "left")
+        improved = F.col("accum").isNotNull() & (F.col("accum") < F.col("distance"))
+        new_state = joined.select(
+            "id",
+            F.when(improved, F.col("accum")).otherwise(F.col("distance")).alias("distance"),
+            improved.alias("_chg"),
+        ).localCheckpoint(eager=True)
+        frontier_size = int(
+            new_state.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+        )
+        frontier = new_state.filter(F.col("_chg")).select("id", F.col("distance").alias("d"))
+        _free_checkpoint(state)
+        state = new_state
+    out = state.select("id", "distance")
+    if own_blocks:
+        blocks.unpersist()
+    return out
 
 
 def pagerank_csr(
@@ -211,7 +353,8 @@ def pagerank_csr(
     edges counted). Returns (id, rank)."""
     n = graph.vertex_count()
     p = graph.num_partitions
-    if blocks is None:
+    own_blocks = blocks is None
+    if own_blocks:
         blocks = build_blocks(graph)
     add_const = (1.0 - damping) / n
     state = graph.vertices.select("id", F.lit(1.0 / n).alias("rank"))
@@ -228,6 +371,11 @@ def pagerank_csr(
             )
             .localCheckpoint(eager=True)
         )
+        # materialize BEFORE freeing the previous snapshot (eager=True
+        # above does this); then the old snapshot and, at the end, any
+        # internally-built block cache can be dropped safely
         _free_checkpoint(state)
         state = new_state
+    if own_blocks:
+        blocks.unpersist()
     return state

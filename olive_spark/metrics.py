@@ -53,6 +53,28 @@ class SuperstepMetricsCollector:
         except Exception:
             pass
 
+    def _await_jobs_settled(self, job_ids, timeout_s: float = 2.0) -> None:
+        """Bounded wait for the listener bus to drain the group's events.
+
+        A job is settled when the store shows it with zero active tasks
+        and zero active stages. Gives up silently after ``timeout_s`` —
+        metrics degrade to a slight undercount, never a loop failure.
+        """
+        import time as _t
+
+        deadline = _t.monotonic() + timeout_s
+        while _t.monotonic() < deadline:
+            try:
+                if all(
+                    self._store.job(jid).numActiveTasks() == 0
+                    and self._store.job(jid).numActiveStages() == 0
+                    for jid in job_ids
+                ):
+                    return
+            except Exception:
+                return  # store read failed — caller degrades gracefully
+            _t.sleep(0.01)
+
     def collect(self, superstep: int) -> dict:
         """Aggregate stage metrics for the superstep's job group.
 
@@ -70,6 +92,12 @@ class SuperstepMetricsCollector:
             job_ids = self._sc.statusTracker().getJobIdsForGroup(
                 f"{self._prefix}{superstep}"
             )
+            # The AppStatusStore is fed by the async listener bus; the
+            # barrier action's task-end events can still be in flight
+            # when we get here, undercounting shuffle/CPU totals. Poll
+            # briefly (bounded) until every job in the group reports no
+            # active tasks/stages, then read once.
+            self._await_jobs_settled(job_ids)
             seen: set[int] = set()
             sr = sw = run_ms = cpu_ns = fetch_ms = wnano = tasks = 0
             for jid in job_ids:

@@ -378,6 +378,7 @@ def dedup_clusters(
     doc_col: str = "doc_id",
     iterations: int | None = None,
     method: str = "auto",
+    round_metrics: list | None = None,
 ) -> DataFrame:
     """Collapse verified near-dup PAIRS into clusters and pick one
     canonical document per cluster: (doc_id, canonical_id) for every
@@ -442,7 +443,7 @@ def dedup_clusters(
     )
     g = Graph.from_edges(spark, edges, vertices=members)
     if iterations is None and method in ("auto", "stars"):
-        comp = connected_components_stars(g)
+        comp = connected_components_stars(g, round_metrics=round_metrics)
     elif iterations is None:
         comp = connected_components(g).state
     else:

@@ -1,13 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads ride as ``binary`` columns next to typed
-metadata, processed in Arrow batches via ``mapInPandas``. The actual
-decoders (PIL/ffmpeg/etc.) are NOT in this environment, so the decode
-step is a clearly-marked stub: ``decode_stub='fake'`` produces a
-deterministic fake feature vector from the bytes (so the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — is real
-and tested); ``decode_stub='raise'`` raises NotImplementedError where a
-real decoder would plug in.
+metadata, processed in Arrow batches via ``mapInPandas``.
+
+Decoder status:
+- PPM (P6) images: REAL pure-numpy decode / nearest-neighbor resize /
+  re-encode (``decode_stub='ppm'`` below) — no PIL needed; golden-
+  tested on exact pixels.
+- Other image formats (JPEG/PNG), audio, video: the codecs
+  (PIL/ffmpeg) are NOT in this environment, so those decode steps are
+  clearly-marked stubs: ``decode_stub='fake'`` produces a deterministic
+  fake from the bytes (the Spark-side plumbing — schema, partitioning,
+  UDF signature, batch shape — is real and tested);
+  ``decode_stub='raise'`` raises NotImplementedError where the real
+  codec would plug in.
 """
 
 from __future__ import annotations
@@ -54,12 +60,80 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (raw.astype(np.float64) / 2**32).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# REAL PPM (P6) codec — pure numpy, no external imaging library.
+# Netpbm P6 is a public, trivially-parseable format: ASCII header
+# "P6 <width> <height> <maxval>" (whitespace-separated, '#' comments)
+# followed by one binary RGB triple per pixel. This makes the image
+# operators real end-to-end in this sandbox rather than plumbing-only.
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6, maxval<=255) to an (h, w, 3) uint8 array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: 3 ASCII ints after the magic, whitespace-separated, with
+    # optional '#...' comments; the single whitespace byte after maxval
+    # terminates the header.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy fancy indexing (deterministic:
+    sample index = floor((i + 0.5) * src/dst), the standard pixel-center
+    mapping)."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def _ppm_features(arr: np.ndarray) -> np.ndarray:
+    """Real 16-dim image feature: per-channel mean+std (6), then a
+    10-bin grayscale histogram (normalized). Deterministic, numpy-only."""
+    f = np.empty(FEATURE_DIM, dtype=np.float32)
+    x = arr.astype(np.float64) / 255.0
+    f[0:3] = x.mean(axis=(0, 1))
+    f[3:6] = x.std(axis=(0, 1))
+    gray = x @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(gray, bins=10, range=(0.0, 1.0))
+    f[6:16] = hist / max(1, gray.size)
+    return f
+
+
 def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
     """media table -> per-item feature vectors, Arrow-batched.
 
     The partition/batch shape is the real production shape: one
-    ``mapInPandas`` over payload batches, feature arrays out. Swap
-    ``_fake_decode`` for a real decoder without touching the plumbing.
+    ``mapInPandas`` over payload batches, feature arrays out.
+    decode_stub='ppm' is a REAL decode: P6 payloads -> per-channel
+    mean/std + grayscale histogram features (pure numpy); 'fake' hashes
+    bytes; 'raise' marks the PIL/ffmpeg slot for other formats.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -68,7 +142,10 @@ def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg — not in this env"
                 )
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            if decode_stub == "ppm":
+                feats = [_ppm_features(decode_ppm(bytes(p))) for p in pdf["payload"]]
+            else:
+                feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -110,6 +187,47 @@ def synth_media(spark, n: int = 64, num_partitions: int = 4) -> DataFrame:
     )
 
 
+def synth_ppm_media(spark, n: int = 16, num_partitions: int = 2) -> DataFrame:
+    """Deterministic REAL P6 images (gradient + id-keyed phase) for the
+    ppm decode path — every payload is a valid PPM."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = []
+            dims = []
+            for i in ids:
+                w, h = 8 + int(i) % 5, 6 + int(i) % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 255 // max(1, w - 1)).astype(np.uint8),
+                        (yy * 255 // max(1, h - 1)).astype(np.uint8),
+                        ((xx + yy + int(i)) % 256).astype(np.uint8),
+                    ],
+                    axis=-1,
+                )
+                payloads.append(encode_ppm(img))
+                dims.append((w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "payload": payloads,
+                    "mime": ["image/x-portable-pixmap"] * len(ids),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "duration_ms": [0] * len(ids),
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(num_partitions, "id")
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -127,10 +245,13 @@ def resize_images(
     """Image rows -> resized payloads + corrected metadata.
 
     Plumbing (filter to kind='image', Arrow batches in, binary payloads
-    + typed metadata out) is the production shape; the pixel work is
-    the stub slot: ``fake`` emits a deterministic payload derived from
-    (bytes, target size) so downstream operators (dedup, features) are
-    testable; ``raise`` marks where PIL/libvips plugs in.
+    + typed metadata out) is the production shape. The pixel work:
+    ``ppm`` = REAL decode -> nearest-neighbor resize -> re-encode for
+    P6 payloads (pure numpy, golden-tested exact pixels); ``fake``
+    emits a deterministic payload derived from (bytes, target size) so
+    downstream operators (dedup, features) stay testable for formats
+    whose codecs aren't in this env; ``raise`` marks where PIL/libvips
+    plugs in for those formats.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,18 +260,26 @@ def resize_images(
                 raise NotImplementedError(
                     "real image resize requires PIL/libvips — not in this env"
                 )
-            payloads = [
-                hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
-                * max(1, (width * height) // 2048)
-                for p in pdf["payload"]
-            ]
+            if decode_stub == "ppm":
+                payloads = [
+                    encode_ppm(resize_nearest(decode_ppm(bytes(p)), width, height))
+                    for p in pdf["payload"]
+                ]
+                mimes = ["image/x-portable-pixmap"] * len(pdf)
+            else:
+                payloads = [
+                    hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                    * max(1, (width * height) // 2048)
+                    for p in pdf["payload"]
+                ]
+                mimes = pdf["mime"]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
                     "payload": payloads,
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
-                    "mime": pdf["mime"],
+                    "mime": mimes,
                 }
             )
 

@@ -124,6 +124,10 @@ def lsh_bucketed_knn(
     re-creates the cross product it exists to avoid). A vector in a
     capped bucket can still surface via its other n_tables-1 buckets.
     None = no cap.
+
+    dim: embedding dimensionality. Pass it when known — the fallback
+    ``.first()`` costs one extra (tiny: single-row, scan-limited) Spark
+    job before planning, same caveat as embedding_near_duplicates.
     """
     from pyspark.sql import Window
 

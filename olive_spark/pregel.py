@@ -44,6 +44,7 @@ Scale design:
 
 from __future__ import annotations
 
+import itertools
 import time
 from collections.abc import Callable
 from contextlib import contextmanager
@@ -180,6 +181,28 @@ class PregelResult:
         _free_checkpoint(self._raw_state or self.state)
 
 
+#: per-pregel-invocation counter feeding the job-group prefix (see
+#: _pregel_impl: id(graph) alone can be reused and cross-pollute metrics)
+_PREGEL_RUN_COUNTER = itertools.count()
+
+
+def _snapshot_every() -> int:
+    """OLIVE_SNAPSHOT_EVERY: localCheckpoint every k-th superstep
+    (default 1 = every superstep). k>1 trades the per-superstep
+    snapshot cost for ~2x recompute of skipped supersteps (state is
+    referenced twice downstream) — an A/B lever for the scaling
+    campaigns, not a recommended setting."""
+    import os
+
+    v = os.environ.get("OLIVE_SNAPSHOT_EVERY")
+    if not v:
+        return 1
+    k = int(v)
+    if k < 1:
+        raise ValueError(f"OLIVE_SNAPSHOT_EVERY={v!r} must be >= 1")
+    return k
+
+
 def _local_ckpt(df: DataFrame) -> DataFrame:
     """Lazy localCheckpoint with an optionally overridden storage level.
 
@@ -194,7 +217,16 @@ def _local_ckpt(df: DataFrame) -> DataFrame:
     if level:
         from pyspark.storagelevel import StorageLevel
 
-        return df.localCheckpoint(eager=False, storageLevel=getattr(StorageLevel, level))
+        sl = getattr(StorageLevel, level, None)
+        if not isinstance(sl, StorageLevel):
+            valid = sorted(
+                n for n in vars(StorageLevel) if isinstance(getattr(StorageLevel, n), StorageLevel)
+            )
+            raise ValueError(
+                f"OLIVE_SNAPSHOT_LEVEL={level!r} is not a pyspark StorageLevel; "
+                f"valid names: {', '.join(valid)}"
+            )
+        return df.localCheckpoint(eager=False, storageLevel=sl)
     return df.localCheckpoint(eager=False)
 
 
@@ -217,10 +249,22 @@ def _free_checkpoint(df: DataFrame | None) -> None:
         pass  # best effort — never fail the loop over cleanup
 
 
-def _init_state(graph: Graph, program: PregelProgram) -> DataFrame:
+def _init_state(
+    graph: Graph, program: PregelProgram, vertex_attrs: DataFrame | None = None
+) -> DataFrame:
     """state = vertices ⋈ degrees + init columns (vertexMap init,
-    PageRank.cu:77-87 / BFS.cu:101-109)."""
+    PageRank.cu:77-87 / BFS.cu:101-109).
+
+    vertex_attrs: optional (id, *attr) DataFrame broadcast-left-joined
+    into the init base so init expressions can reference per-vertex
+    static attributes (seed membership, priors, weights) without plan
+    literals — the scale-safe alternative to an `isin([...])` list for
+    10^5+ seed sets. Attr columns not captured by an init expression
+    are dropped from the state.
+    """
     base = graph.degrees()  # (id, outdeg) — cached
+    if vertex_attrs is not None:
+        base = base.join(F.broadcast(vertex_attrs), "id", "left")
     cols = [F.col("id"), F.col("outdeg")]
     cols += [expr.alias(name) for name, expr in program.init.items()]
     return base.select(*cols)
@@ -236,6 +280,7 @@ def pregel(
     collect_partition_metrics: bool = False,
     collect_shuffle_metrics: bool = True,
     resume: bool = False,
+    vertex_attrs: DataFrame | None = None,
 ) -> PregelResult:
     """Run the superstep loop (driver-side while, PageRank.cu:122-133).
 
@@ -248,6 +293,8 @@ def pregel(
     collect_shuffle_metrics adds per-superstep shuffle read/write bytes
     and comp/comm time splits (olive.h:131-150) to the metrics — a
     driver-side AppStatusStore read per superstep, no executor cost.
+    vertex_attrs: optional static per-vertex attribute DataFrame
+    broadcast-joined into the init base (see _init_state).
     """
     with stable_partitioning(graph.edges.sparkSession):
         return _pregel_impl(
@@ -260,6 +307,7 @@ def pregel(
             collect_partition_metrics,
             collect_shuffle_metrics,
             resume,
+            vertex_attrs,
         )
 
 
@@ -273,6 +321,7 @@ def _pregel_impl(
     collect_partition_metrics: bool,
     collect_shuffle_metrics: bool,
     resume: bool,
+    vertex_attrs: DataFrame | None = None,
 ) -> PregelResult:
     spark = graph.edges.sparkSession
     edges = graph.edges
@@ -280,8 +329,13 @@ def _pregel_impl(
     if collect_shuffle_metrics:
         from olive_spark.metrics import SuperstepMetricsCollector
 
+        # Per-invocation unique token: id(graph) alone is NOT unique —
+        # a second pregel() on the same Graph (or an id() recycled after
+        # GC) would reuse group ids, and getJobIdsForGroup would then
+        # fold prior runs' stage metrics into this run's supersteps.
+        run_token = next(_PREGEL_RUN_COUNTER)
         shuffle_collector = SuperstepMetricsCollector(
-            spark, prefix=f"olive-superstep-{id(graph):x}-"
+            spark, prefix=f"olive-superstep-r{run_token}-"
         )
     state_cols = list(program.init.keys())
     frontier_driven = not program.full_frontier
@@ -319,7 +373,7 @@ def _pregel_impl(
             resumed = True
 
     if not resumed:
-        state = _init_state(graph, program)
+        state = _init_state(graph, program, vertex_attrs)
         if frontier_driven and "_active" not in program.init:
             state = state.withColumn("_active", F.lit(True))
         # lazy localCheckpoint: the first action on it materializes the
@@ -334,6 +388,9 @@ def _pregel_impl(
 
     metrics: list[dict] = []
     converged = False
+    # last MATERIALIZED snapshot (with OLIVE_SNAPSHOT_EVERY>1 some
+    # states are lazy plans; only a materialized successor may free it)
+    last_snapshot = state
 
     while superstep < max_iterations:
         t0 = time.monotonic()
@@ -402,13 +459,23 @@ def _pregel_impl(
             checkpoint_store is not None
             and (superstep + 1) % checkpoint_every == 0
         )
+        snapshotted = True
         if durable:
             # superstep+1 = the number of completed supersteps this state
             # reflects (superstep increments just below). The parquet
             # write is the materializing action on the durable path.
             new_state, _ = checkpoint_store.checkpoint(superstep + 1, new_state, None)
-        else:
+        elif (superstep + 1) % _snapshot_every() == 0:
             new_state = _local_ckpt(new_state)
+        else:
+            # A/B lever (OLIVE_SNAPSHOT_EVERY>1): skip the snapshot this
+            # superstep. The state stays a lazy plan referenced TWICE by
+            # the next superstep (frontier join + vertex join), so the
+            # un-snapshotted superstep's work is recomputed ~2x per skip
+            # — measured a net loss at k>=2 (BENCH.md "rejected
+            # optimizations"), kept only to A/B the snapshot term per
+            # the r3 verdict; default (1) snapshots every superstep.
+            snapshotted = False
 
         # ---- the ONE barrier action per superstep ------------------------
         # Materializes the (lazy) snapshot, counts the next frontier, and
@@ -424,10 +491,15 @@ def _pregel_impl(
             aggs.append(F.count(F.lit(1)).alias("_n"))
         row = new_state.agg(*aggs).first()
 
-        old_state = state
         state = new_state
         superstep += 1
-        _free_checkpoint(old_state)  # new state is materialized; drop old snapshot
+        if snapshotted:
+            # new state is materialized; the previous snapshot (not
+            # necessarily last superstep's state, which may be lazy) is
+            # no longer referenced — drop it
+            if last_snapshot is not state:
+                _free_checkpoint(last_snapshot)
+            last_snapshot = state
 
         # ---- termination ------------------------------------------------
         step_metrics = {"superstep": superstep, "ms": None, "active": None}

@@ -23,8 +23,11 @@ import time
 
 
 def run_once(repo: str) -> dict:
+    # --once: bench.py's default mode is now itself the median protocol
+    # (it orchestrates fresh-JVM repeats); this script drives the inner
+    # single-shot mode directly to keep its own interleaving.
     out = subprocess.run(
-        [sys.executable, os.path.join(repo, "bench.py")],
+        [sys.executable, os.path.join(repo, "bench.py"), "--once"],
         capture_output=True, text=True, check=True, cwd=repo,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]

@@ -6,7 +6,14 @@ import numpy as np
 import pytest
 
 from olive_spark import oracle
-from olive_spark.csr import bfs_csr, build_blocks, gather_sum, pagerank_csr
+from olive_spark.csr import (
+    bfs_csr,
+    build_blocks,
+    cc_csr,
+    gather_sum,
+    pagerank_csr,
+    sssp_csr,
+)
 from olive_spark.fixtures import (
     acyclic_graph,
     chain_graph,
@@ -70,6 +77,70 @@ def test_bfs_csr_matches_oracle(spark, fix, source):
     exp = oracle.bfs(n, e, source=source)
     assert len(got) == n
     assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize(
+    "fix",
+    [grid_graph(), chain_graph(30), star_graph(40), maxflow_graph(),
+     isolated_graph(12)],
+    ids=["grid", "chain30", "star40", "maxflow", "isolated12"],
+)
+def test_cc_csr_matches_oracle(spark, fix):
+    """Frontier-driven CSR min-label CC == union-find oracle (exact)."""
+    n, e = fix
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    out = cc_csr(g)
+    got = np.array([r["component"] for r in out.orderBy("id").collect()])
+    exp = oracle.connected_components(n, e)
+    assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize(
+    "fix, source",
+    [(grid_graph(), 0), (chain_graph(25), 0), (maxflow_graph(), 0)],
+    ids=["grid", "chain25", "maxflow"],
+)
+def test_sssp_csr_weighted_matches_oracle(spark, fix, source):
+    """CSR Bellman-Ford (gather = dist + weight via edge_kernel) ==
+    serial weighted oracle, including unreached = +inf."""
+    n, e = fix
+    # deterministic non-uniform weights so the edge_kernel path is real
+    # (from_edge_list discards weights by reference semantics, so build
+    # the weighted edge table directly)
+    we = [(u, v, 1.0 + ((u * 7 + v * 13) % 5) * 0.25) for (u, v) in e]
+    edf = spark.createDataFrame(we, schema="src long, dst long, weight double")
+    vdf = spark.range(n).select(F.col("id").cast("long").alias("id"))
+    g = Graph.from_edges(spark, edf, vertices=vdf, num_partitions=4)
+    out = sssp_csr(g, source=source)
+    got = np.array([r["distance"] for r in out.orderBy("id").collect()])
+    exp = oracle.sssp_weighted(n, we, source)
+    assert np.allclose(got, exp, atol=1e-12, equal_nan=False)
+
+
+def test_gather_sum_nan_state_propagates(spark):
+    """A src whose state value is genuinely NaN must propagate NaN to
+    its out-neighbors, NOT be dropped as 'absent' (r3 ADVICE: membership
+    mask, not NaN sentinel)."""
+    # 0->1, 0->2, 3->2 ; state for all of 0..3 with value[0] = NaN
+    e = [(0, 1), (0, 2), (3, 2)]
+    g = Graph.from_edge_list(spark, e, n_vertices=4, num_partitions=2)
+    blocks = build_blocks(g)
+    state = g.degrees().withColumn(
+        "rank",
+        F.when(F.col("id") == 0, F.lit(float("nan"))).otherwise(
+            F.col("id").cast("double")
+        ),
+    )
+    got = {
+        r["id"]: r["accum"]
+        for r in gather_sum(
+            blocks, state, "rank", g.num_partitions, kernel=lambda v, c: v
+        ).collect()
+    }
+    blocks.unpersist()
+    # dst 1 and 2 both receive NaN from src 0 (sum with NaN = NaN)
+    assert np.isnan(got[1])
+    assert np.isnan(got[2])
 
 
 def test_gather_sum_frontier_masks_inactive_srcs(spark):

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from olive_spark import oracle
 from olive_spark.algorithms.hits import hits
 from olive_spark.algorithms.pagerank import personalized_pagerank
@@ -98,6 +100,48 @@ def test_personalized_pagerank_seeds_dominate(spark):
     d = {r["id"]: r["rank"] for r in res.state.collect()}
     assert d[7] == pytest.approx(0.15, abs=1e-12)  # (1-d)*1 after round 1+
     assert all(v == 0.0 for i, v in d.items() if i != 7)
+
+
+def test_personalized_pagerank_dataframe_seeds_match_list(spark):
+    """DataFrame seed sets (broadcast-join path) == list seeds (isin
+    literal path), including seed dedup."""
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    seeds = [0, 3, 3, 7]  # dup on purpose
+    a = personalized_pagerank(g, sources=seeds, epsilon=None, max_iterations=6)
+    seed_df = spark.createDataFrame([(s,) for s in seeds], schema="id long")
+    b = personalized_pagerank(g, sources=seed_df, epsilon=None, max_iterations=6)
+    va = _vec(a.state.collect(), n, "rank")
+    vb = _vec(b.state.collect(), n, "rank")
+    assert np.allclose(va, vb, atol=1e-12)
+
+
+def test_personalized_pagerank_large_seed_set_no_literals(spark):
+    """A seed list above PPR_SEED_LITERAL_MAX routes through the
+    broadcast vertex_attrs join: the optimized init plan contains no
+    giant In-list, and the result still matches the oracle."""
+    from olive_spark.algorithms.pagerank import PPR_SEED_LITERAL_MAX
+    from olive_spark.pregel import PregelProgram, _init_state
+
+    n = PPR_SEED_LITERAL_MAX + 500
+    e = [(i, (i + 1) % n) for i in range(n)]  # ring
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    sources = list(range(PPR_SEED_LITERAL_MAX + 100))
+    res = personalized_pagerank(g, sources=sources, epsilon=None, max_iterations=3)
+    got = _vec(res.state.collect(), n, "rank")
+    exp = oracle.personalized_pagerank_fixed(n, e, sources, iterations=3)
+    assert np.allclose(got, exp, atol=1e-12)
+    # plan check: init base with a DataFrame attr side shows a broadcast
+    # join, not an In(...) literal over the seed ids
+    seed_df = spark.createDataFrame([(s,) for s in sources], schema="id long")
+    attrs = seed_df.withColumn("_is_seed", F.lit(True))
+    prog = PregelProgram(
+        init={"pref": F.coalesce(F.col("_is_seed"), F.lit(False)).cast("double")},
+        gather=F.lit(0.0), agg=F.sum, update={},
+    )
+    plan = _init_state(g, prog, attrs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert " IN (" not in plan
 
 
 def test_personalized_pagerank_empty_sources(spark):

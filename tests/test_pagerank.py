@@ -94,3 +94,32 @@ def test_partition_count_invariance(spark):
         g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=p)
         outs.append(ranks_vec(pagerank_fixed(g, iterations=10), n))
     assert np.allclose(outs[0], outs[1], atol=1e-12)
+
+
+def test_snapshot_every_knob_equivalent_and_validated(spark, monkeypatch):
+    """OLIVE_SNAPSHOT_EVERY=2 (the r4 A/B lever: skip alternate
+    localCheckpoints, accepting ~2x recompute of skipped supersteps)
+    must be bit-identical to the default; bad values raise clearly.
+    Also covers OLIVE_SNAPSHOT_LEVEL validation (r3 ADVICE)."""
+    from olive_spark.fixtures import grid_graph
+    from olive_spark import oracle
+
+    n, e = grid_graph()
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    exp = oracle.pagerank_fixed(n, e, iterations=6)
+
+    monkeypatch.setenv("OLIVE_SNAPSHOT_EVERY", "2")
+    res = pagerank_fixed(g, iterations=6)
+    got = np.array([r["rank"] for r in res.state.orderBy("id").collect()])
+    res.free()
+    assert np.allclose(got, exp, atol=1e-12)
+
+    monkeypatch.setenv("OLIVE_SNAPSHOT_EVERY", "0")
+    with pytest.raises(ValueError, match="OLIVE_SNAPSHOT_EVERY"):
+        pagerank_fixed(g, iterations=2)
+    monkeypatch.delenv("OLIVE_SNAPSHOT_EVERY")
+
+    monkeypatch.setenv("OLIVE_SNAPSHOT_LEVEL", "MEMORY_ONLY2")
+    with pytest.raises(ValueError, match="OLIVE_SNAPSHOT_LEVEL"):
+        pagerank_fixed(g, iterations=2)
+    monkeypatch.delenv("OLIVE_SNAPSHOT_LEVEL")

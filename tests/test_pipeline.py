@@ -519,3 +519,86 @@ def test_multimodal_frame_sampling(spark):
         assert sorted(frames) == expected
     # zero-duration videos still produce frame 0
     assert all(len(v) >= 1 for v in by_media.values())
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    """Pure-numpy P6 codec: encode->decode is identity; header comments
+    and arbitrary whitespace parse correctly."""
+    from olive_spark.pipeline.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # hand-written header with comments + mixed whitespace
+    raw = b"P6 # magic\n# a comment line\n 2\t2 # dims\n255\n" + bytes(range(12))
+    got = decode_ppm(raw)
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got.ravel(), np.arange(12, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))
+
+
+def test_ppm_resize_nearest_golden():
+    """Nearest-neighbor resize: exact expected pixels (pixel-center
+    mapping floor((i+0.5)*src/dst)) on a hand-checked 2x2 -> 4x4."""
+    from olive_spark.pipeline.multimodal import resize_nearest
+
+    # 2x2 image with distinct corner colors
+    img = np.array(
+        [[[10, 0, 0], [0, 20, 0]],
+         [[0, 0, 30], [40, 40, 40]]], dtype=np.uint8
+    )
+    up = resize_nearest(img, 4, 4)
+    # rows/cols map 0,0,1,1 -> each source pixel becomes a 2x2 block
+    exp = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert np.array_equal(up, exp)
+    # downscale 4x4 -> 2x2 picks centers (indices 1 and 3 -> floor((i+.5)*2)=1,3)
+    down = resize_nearest(up, 2, 2)
+    assert np.array_equal(down, img)
+
+
+def test_multimodal_ppm_resize_end_to_end(spark):
+    """resize_images(decode_stub='ppm') over REAL P6 payloads: each
+    output payload is a valid PPM whose pixels equal the local
+    decode->resize_nearest->encode of the input (exact)."""
+    from olive_spark.pipeline.multimodal import (
+        decode_ppm,
+        resize_images,
+        resize_nearest,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, n=10, num_partitions=2)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in resize_images(media, 5, 3, decode_stub="ppm").collect()}
+    assert set(out) == set(src)
+    for mid, row in out.items():
+        assert (row["width"], row["height"]) == (5, 3)
+        assert row["mime"] == "image/x-portable-pixmap"
+        got = decode_ppm(bytes(row["payload"]))
+        exp = resize_nearest(decode_ppm(src[mid]), 5, 3)
+        assert np.array_equal(got, exp)
+
+
+def test_multimodal_ppm_features_end_to_end(spark):
+    """extract_features(decode_stub='ppm'): real per-channel mean/std +
+    gray histogram, matching the local numpy computation exactly."""
+    from olive_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        _ppm_features,
+        decode_ppm,
+        extract_features,
+        synth_ppm_media,
+    )
+
+    media = synth_ppm_media(spark, n=8, num_partitions=2)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in extract_features(media, decode_stub="ppm").collect()}
+    assert set(out) == set(src)
+    for mid, row in out.items():
+        feat = np.array(row["feature"], dtype=np.float32)
+        assert feat.shape == (FEATURE_DIM,)
+        exp = _ppm_features(decode_ppm(src[mid]))
+        assert np.allclose(feat, exp, atol=1e-6)
+        # histogram bins (6:16) sum to 1 over all pixels
+        assert abs(float(feat[6:16].sum()) - 1.0) < 1e-5
