@@ -75,7 +75,16 @@ def build_blocks(graph: Graph, num_partitions: int | None = None) -> DataFrame:
         )
 
     e = graph.edges.withColumn("pid", _pid(F.col("src"), p))
-    return e.groupBy("pid").applyInPandas(pack, schema=BLOCK_SCHEMA).cache()
+    packed = e.groupBy("pid").applyInPandas(pack, schema=BLOCK_SCHEMA)
+    # FlatMapGroupsInPandas does NOT expose its child's hash partitioning
+    # (the output pid is a fresh attribute), so caching `packed` directly
+    # leaves the cached relation with Unknown partitioning and EVERY
+    # superstep's cogroup re-Exchanges the E-sized binary blocks above the
+    # cache scan. One explicit hash repartition at build time stamps the
+    # InMemoryRelation with hashpartitioning(pid, p); the cogroup then
+    # scans the blocks in place and shuffles only the narrow state side
+    # (plan-asserted in scripts/plan_audit_r4.py).
+    return packed.repartition(p, "pid").cache()
 
 
 def gather_sum(

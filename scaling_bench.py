@@ -113,10 +113,15 @@ def main():
     # Interleave configs (low, high, low, high, ...) so drift in shared-host
     # load biases both configs equally instead of whichever ran last.
     all_runs: dict[int, list[dict]] = {args.low: [], args.high: []}
-    for _ in range(args.repeats):
+    for rep in range(args.repeats):
         for cpus in (args.low, args.high):
-            all_runs[cpus].append(
-                run_once(repo, cpus, args.edges, args.iters, args.vratio)
+            r = run_once(repo, cpus, args.edges, args.iters, args.vratio)
+            all_runs[cpus].append(r)
+            print(
+                f"# rep {rep + 1}/{args.repeats} local[{cpus}]: "
+                f"eps={r['eps']:,.0f} raw_sec={r['raw_sec']:.2f} "
+                f"load_1m={os.getloadavg()[0]:.2f}",
+                file=sys.stderr, flush=True,
             )
     results = {
         cpus: {
