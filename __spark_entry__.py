@@ -1141,3 +1141,66 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["doc_dedup_clusters"] = _dedup_clusters_sql(DEDUP_CC_K)
     o["doc_ngram_counts"] = _NGRAM_COUNTS_SQL
     return o
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the CSR-block fast path under the same oracles as the
+# DataFrame path. cc/bfs/sssp over per-partition CSR adjacency
+# (csr.py; reference CSR layout csrGraph.h:55-84) are frontier-driven;
+# frontier pruning is a no-op w.r.t. the synchronous k-round semantics
+# (a vertex unchanged since its last gather re-contributes the same
+# candidate, which LEAST/min discards), so the SAME unrolled SQL
+# oracles apply — the strongest equivalence statement available: both
+# execution paths hash-match one DuckDB result.
+# ---------------------------------------------------------------------------
+
+
+def _q_bfs_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.csr import bfs_csr
+
+    g = testdata_tri_graph(spark, sf_dir)
+    out = bfs_csr(g, source=BFS_SOURCE, max_iterations=BFS_K)
+    return out.select("id", F.col("level").cast("long").alias("level"))
+
+
+def _q_cc_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.csr import cc_csr
+
+    g = testdata_tri_graph(spark, sf_dir)
+    out = cc_csr(g, max_iterations=CC_K)
+    return out.select("id", F.col("component").cast("long").alias("component"))
+
+
+def _q_wsssp_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.csr import sssp_csr
+
+    g = testdata_weighted_graph(spark, sf_dir)
+    out = sssp_csr(g, source=0, max_iterations=WSSSP_K)
+    return out.select(
+        "id",
+        F.when(F.col("distance") == float("inf"), F.lit(-1).cast("long"))
+        .otherwise(F.round(F.col("distance") * 1e6).cast("long"))
+        .alias("dist_e6"),
+    )
+
+
+_BASE_QUERIES9 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES9())
+    q["bfs_csr_k6"] = _q_bfs_csr
+    q["cc_csr_k8"] = _q_cc_csr
+    q["wsssp_csr_k6"] = _q_wsssp_csr
+    return q
+
+
+_BASE_ORACLES9 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES9())
+    o["bfs_csr_k6"] = _bfs_sql(BFS_K, BFS_SOURCE)
+    o["cc_csr_k8"] = _cc_sql(CC_K)
+    o["wsssp_csr_k6"] = _wsssp_sql(WSSSP_K, 0)
+    return o

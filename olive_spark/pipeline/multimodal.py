@@ -7,7 +7,11 @@ Decoder status:
 - PPM (P6) images: REAL pure-numpy decode / nearest-neighbor resize /
   re-encode (``decode_stub='ppm'`` below) — no PIL needed; golden-
   tested on exact pixels.
-- Other image formats (JPEG/PNG), audio, video: the codecs
+- WAV (RIFF PCM) audio: REAL pure-numpy decode / feature extraction
+  (``decode_stub='wav'``) — RIFF chunk walk + int16/uint8 PCM samples,
+  RMS / zero-crossings / FFT band energies; golden-tested on exact
+  round-trip samples.
+- Other formats (JPEG/PNG images, compressed audio, video): the codecs
   (PIL/ffmpeg) are NOT in this environment, so those decode steps are
   clearly-marked stubs: ``decode_stub='fake'`` produces a deterministic
   fake from the bytes (the Spark-side plumbing — schema, partitioning,
@@ -126,14 +130,97 @@ def _ppm_features(arr: np.ndarray) -> np.ndarray:
     return f
 
 
+# ---------------------------------------------------------------------------
+# REAL WAV (RIFF PCM) codec — pure numpy, no external audio library.
+# Canonical WAV is a public RIFF container: 'RIFF'<size>'WAVE', then
+# chunks; 'fmt ' carries (format=1 PCM, channels, sample rate, bits),
+# 'data' carries the interleaved samples. 16-bit signed and 8-bit
+# unsigned PCM cover the uncompressed cases; everything compressed
+# (MP3/AAC/...) stays behind the ffmpeg stub.
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF PCM WAV -> (mono float64 samples in [-1, 1], rate).
+
+    Multi-channel input is averaged to mono. Supports PCM format 1 at
+    16-bit signed or 8-bit unsigned depth.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"compressed WAV (format {audio_format}) needs ffmpeg")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{bits}-bit PCM not supported")
+    if n_channels > 1:
+        x = x[: len(x) - len(x) % n_channels].reshape(-1, n_channels).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode mono float samples in [-1, 1] as 16-bit PCM WAV."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little") + int(rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _wav_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Real 16-dim audio feature: duration_sec, RMS, peak, zero-crossing
+    rate, then 12 normalized FFT band energies (log-ish fixed bands up
+    to Nyquist). Deterministic, numpy-only."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    n = len(samples)
+    if n == 0:
+        return f
+    f[0] = n / rate
+    f[1] = np.sqrt(np.mean(samples**2))
+    f[2] = np.abs(samples).max()
+    f[3] = np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1]))
+    mag = np.abs(np.fft.rfft(samples))
+    total = mag.sum()
+    if total > 0:
+        bands = np.array_split(mag, 12)
+        f[4:16] = [b.sum() / total for b in bands]
+    return f
+
+
 def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
     """media table -> per-item feature vectors, Arrow-batched.
 
     The partition/batch shape is the real production shape: one
     ``mapInPandas`` over payload batches, feature arrays out.
     decode_stub='ppm' is a REAL decode: P6 payloads -> per-channel
-    mean/std + grayscale histogram features (pure numpy); 'fake' hashes
-    bytes; 'raise' marks the PIL/ffmpeg slot for other formats.
+    mean/std + grayscale histogram features (pure numpy).
+    decode_stub='wav' is a REAL decode: RIFF PCM payloads -> duration/
+    RMS/ZCR/FFT-band features (pure numpy). 'fake' hashes bytes;
+    'raise' marks the PIL/ffmpeg slot for other formats.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,6 +231,8 @@ def extract_features(media: DataFrame, decode_stub: str = "fake") -> DataFrame:
                 )
             if decode_stub == "ppm":
                 feats = [_ppm_features(decode_ppm(bytes(p))) for p in pdf["payload"]]
+            elif decode_stub == "wav":
+                feats = [_wav_features(*decode_wav(bytes(p))) for p in pdf["payload"]]
             else:
                 feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
@@ -218,6 +307,43 @@ def synth_ppm_media(spark, n: int = 16, num_partitions: int = 2) -> DataFrame:
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "duration_ms": [0] * len(ids),
+                }
+            )
+
+    return (
+        spark.range(n)
+        .repartition(num_partitions, "id")
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def synth_wav_media(spark, n: int = 16, num_partitions: int = 2) -> DataFrame:
+    """Deterministic REAL PCM WAV clips (id-keyed sine + harmonic) for
+    the wav decode path — every payload is a valid 16-bit RIFF WAV."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 8000
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads, durs = [], []
+            for i in ids:
+                dur = 0.05 + (int(i) % 4) * 0.025  # 50-125 ms clips
+                t = np.arange(int(rate * dur)) / rate
+                freq = 220.0 * (1 + int(i) % 8)
+                x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.3 * np.sin(
+                    2 * np.pi * 2 * freq * t
+                )
+                payloads.append(encode_wav(x, rate))
+                durs.append(int(dur * 1000))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["audio"] * len(ids),
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(ids),
+                    "width": [None] * len(ids),
+                    "height": [None] * len(ids),
+                    "duration_ms": durs,
                 }
             )
 

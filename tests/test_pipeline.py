@@ -602,3 +602,69 @@ def test_multimodal_ppm_features_end_to_end(spark):
         assert np.allclose(feat, exp, atol=1e-6)
         # histogram bins (6:16) sum to 1 over all pixels
         assert abs(float(feat[6:16].sum()) - 1.0) < 1e-5
+
+
+def test_wav_codec_roundtrip_and_chunks():
+    """Pure-numpy RIFF PCM codec: encode->decode recovers samples to
+    16-bit quantization; stereo averages to mono; odd-sized chunks are
+    word-aligned; compressed formats raise toward the ffmpeg slot."""
+    from olive_spark.pipeline.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, size=501)
+    got, rate = decode_wav(encode_wav(x, 8000))
+    assert rate == 8000
+    # error bound: 0.5 LSB rounding + the 32767-encode/32768-decode
+    # scale convention (|x|/32768) -> < 2/32768 for |x| <= 1
+    assert np.allclose(got, x, atol=2.0 / 32768)
+    # hand-built stereo 8-bit file with an odd-length junk chunk first
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (4000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    # L channel 128+40, R channel 128-40 -> mono average exactly 0
+    data = bytes([168, 88] * 5)
+    chunks = b"junk" + (3).to_bytes(4, "little") + b"abc\x00"  # padded to 4
+    chunks += b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    raw = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    got, rate = decode_wav(raw)
+    assert rate == 4000 and len(got) == 5
+    assert np.allclose(got, 0.0)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + raw[4:])
+    mp3ish = raw.replace(
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt,
+        b"fmt " + len(fmt).to_bytes(4, "little")
+        + (85).to_bytes(2, "little") + fmt[2:],
+    )
+    with pytest.raises(ValueError, match="ffmpeg"):
+        decode_wav(mp3ish)
+
+
+def test_multimodal_wav_features_end_to_end(spark):
+    """extract_features(decode_stub='wav'): real duration/RMS/ZCR/FFT
+    band features over REAL PCM payloads, matching the local numpy
+    computation exactly; band energies (4:16) sum to 1."""
+    from olive_spark.pipeline.multimodal import (
+        FEATURE_DIM,
+        _wav_features,
+        decode_wav,
+        extract_features,
+        synth_wav_media,
+    )
+
+    media = synth_wav_media(spark, n=8, num_partitions=2)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["media_id"]: r for r in extract_features(media, decode_stub="wav").collect()}
+    assert set(out) == set(src)
+    for mid, row in out.items():
+        feat = np.array(row["feature"], dtype=np.float32)
+        assert feat.shape == (FEATURE_DIM,)
+        exp = _wav_features(*decode_wav(src[mid]))
+        assert np.allclose(feat, exp, atol=1e-6)
+        assert abs(float(feat[4:16].sum()) - 1.0) < 1e-5
+        assert 0.04 < float(feat[0]) < 0.13  # 50-125 ms clips
+        # a 220*(1+i%8) Hz tone has nonzero ZCR and RMS ~ sqrt(0.18+0.045)
+        assert feat[1] > 0.3 and feat[3] > 0.0
