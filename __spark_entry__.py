@@ -1204,3 +1204,64 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o["cc_csr_k8"] = _cc_sql(CC_K)
     o["wsssp_csr_k6"] = _wsssp_sql(WSSSP_K, 0)
     return o
+
+
+# ---------------------------------------------------------------------------
+# Round 4: per-vertex local clustering coefficient — the classic
+# web-graph cohesion statistic (2*tri / (deg*(deg-1)) on the simple
+# undirected graph; 0 where deg < 2). Shares the degree-oriented
+# triangle plan; lcc fixed-point rounded to e9 like rank_e9 so the
+# hash compare is exact across engines.
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_SQL = f"""
+WITH e AS ({TESTDATA_TRI_EDGES_SQL}),
+v AS ({_VERTS_TRI}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS deg FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und) s GROUP BY id),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+members AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+pv AS (SELECT v.id, COALESCE(m.cnt, 0) AS t, COALESCE(deg.deg, 0) AS d
+       FROM v LEFT JOIN (SELECT id, COUNT(*) AS cnt FROM members GROUP BY id) m
+         ON v.id = m.id
+       LEFT JOIN deg ON v.id = deg.id)
+SELECT id, CAST(t AS BIGINT) AS triangles, CAST(d AS BIGINT) AS deg,
+       CAST(ROUND(CASE WHEN d >= 2 THEN (2.0 * t) / (d * (d - 1)) ELSE 0.0 END * 1000000000) AS BIGINT) AS lcc_e9
+FROM pv
+""".strip()
+
+
+def _q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.algorithms.triangles import local_clustering
+
+    g = testdata_tri_graph(spark, sf_dir)
+    out = local_clustering(g)
+    return out.select(
+        "id",
+        F.col("triangles").cast("long").alias("triangles"),
+        F.col("deg").cast("long").alias("deg"),
+        F.round(F.col("lcc") * 1e9).cast("long").alias("lcc_e9"),
+    )
+
+
+_BASE_QUERIES10 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES10())
+    q["clustering_coeff"] = _q_clustering
+    return q
+
+
+_BASE_ORACLES10 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES10())
+    o["clustering_coeff"] = _CLUSTERING_SQL
+    return o

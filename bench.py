@@ -169,6 +169,13 @@ def run_once():
     }))
 
 
+def _cpu_ticks() -> tuple[float, float]:
+    """(steal_ticks, total_ticks) from /proc/stat (see scaling_bench)."""
+    with open("/proc/stat") as f:
+        vals = [float(x) for x in f.readline().split()[1:]]
+    return (vals[7] if len(vals) > 7 else 0.0), sum(vals)
+
+
 def main_median(repeats: int):
     """n fresh-JVM repeats of --once; one summary JSON line of medians.
 
@@ -179,12 +186,16 @@ def main_median(repeats: int):
     here = os.path.abspath(__file__)
     runs: list[dict] = []
     loads: list[float] = []
+    steals: list[float] = []
     for i in range(repeats):
         loads.append(round(os.getloadavg()[0], 2))
+        s0, t0 = _cpu_ticks()
         out = subprocess.run(
             [sys.executable, here, "--once"],
             capture_output=True, text=True, cwd=os.path.dirname(here),
         )
+        s1, t1 = _cpu_ticks()
+        steals.append(round((s1 - s0) / max(t1 - t0, 1.0), 4))
         if out.returncode != 0:
             sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:] + "\n")
             raise SystemExit(f"bench repeat {i + 1}/{repeats} failed")
@@ -193,7 +204,7 @@ def main_median(repeats: int):
         runs.append(r)
         sys.stderr.write(
             f"# run {i + 1}/{repeats}: eps={r['value']:,} total={r['total_sec']}s "
-            f"load_1m_at_start={loads[-1]}\n"
+            f"load_1m_at_start={loads[-1]} steal={steals[-1]:.1%}\n"
         )
     loads.append(round(os.getloadavg()[0], 2))
 
@@ -223,6 +234,9 @@ def main_median(repeats: int):
         "queries_runs": {q: [round(r["queries"][q], 3) for r in runs]
                          for q in queries},
         "load_avg_1m": loads,
+        # fraction of all host cpu ticks stolen by the hypervisor during
+        # each repeat (co-tenant contention that load_1m cannot see)
+        "steal_frac": steals,
     }
     print(json.dumps(summary))
 

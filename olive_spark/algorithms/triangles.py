@@ -91,3 +91,49 @@ def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
     oriented.unpersist()
     tris.unpersist()
     return per_all, int(s) // 3
+
+
+def local_clustering(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient on the simple undirected
+    graph: lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)), defined
+    as 0.0 where deg < 2. Returns DataFrame(id, triangles, deg, lcc)
+    over ALL vertices.
+
+    The closed-wedge count comes from :func:`triangle_count` (the
+    degree-oriented join plan); the denominator's undirected simple
+    degree is one extra dedup'd scan of the edge set — both sides are
+    single groupBy aggregations, so the whole query is three equi-join
+    shuffles + two aggs, no UDFs. (Reference computes the same simple-
+    graph statistics family from its CSR degrees, csrGraph.h:253-284.)
+    """
+    per, _ = triangle_count(graph)
+    und = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    out = (
+        per.join(deg, "id", "left")
+        .select(
+            "id",
+            "triangles",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+        )
+        .withColumn(
+            "lcc",
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2.0) * F.col("triangles")) / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out

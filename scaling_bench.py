@@ -85,14 +85,31 @@ print(json.dumps({{"cpus": cpus, "edges": m, "iters": iters, "sec": dt,
 """
 
 
+def _cpu_ticks() -> tuple[float, float]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal is
+    the co-tenant noise source on this host that load_1m can NOT see
+    (measured 2026-08-17: 4.4% steal with this VM near-idle)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [float(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0.0
+    return steal, sum(vals)
+
+
 def run_once(repo: str, cpus: int, edges: int, iters: int, vratio: int) -> dict:
     script = WORKER.format(repo=repo)
+    s0, t0 = _cpu_ticks()
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), str(edges), str(iters), str(vratio)],
         capture_output=True, text=True, check=True,
     )
+    s1, t1 = _cpu_ticks()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    # fraction of ALL host cpu ticks stolen by the hypervisor across
+    # this rep's window (32-core denominator: 0.01 == 0.32 cores)
+    r["steal_frac"] = round((s1 - s0) / max(t1 - t0, 1.0), 4)
+    return r
 
 
 def main():
@@ -120,7 +137,7 @@ def main():
             print(
                 f"# rep {rep + 1}/{args.repeats} local[{cpus}]: "
                 f"eps={r['eps']:,.0f} raw_sec={r['raw_sec']:.2f} "
-                f"load_1m={os.getloadavg()[0]:.2f}",
+                f"load_1m={os.getloadavg()[0]:.2f} steal={r['steal_frac']:.1%}",
                 file=sys.stderr, flush=True,
             )
     results = {
@@ -246,7 +263,11 @@ def main():
             f"({'MET' if summary['raw_sup_meets_0.8'] else 'NOT MET'}). "
             f"Per-run superstep ms: "
             f"local[{args.low}]={[r['sup_ms'] for r in lo['runs']]}, "
-            f"local[{args.high}]={[r['sup_ms'] for r in hi['runs']]}.\n"
+            f"local[{args.high}]={[r['sup_ms'] for r in hi['runs']]}. "
+            f"Per-run hypervisor steal fraction (of all 32 host cores; "
+            f"co-tenant noise invisible to load_1m): "
+            f"local[{args.low}]={[r.get('steal_frac') for r in lo['runs']]}, "
+            f"local[{args.high}]={[r.get('steal_frac') for r in hi['runs']]}.\n"
         )
 
 

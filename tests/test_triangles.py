@@ -44,3 +44,37 @@ def test_k20_total(spark):
     per, total = triangle_count(g)
     assert total == 1140  # C(20,3)
     per.unpersist()
+
+
+def lcc_oracle(n, edges):
+    """Brute-force local clustering coefficient per vertex."""
+    adj = [set() for _ in range(n)]
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = np.zeros(n)
+    for v in range(n):
+        d = len(adj[v])
+        if d < 2:
+            continue
+        links = sum(1 for u in adj[v] for w in adj[v] if u < w and w in adj[u])
+        out[v] = 2.0 * links / (d * (d - 1))
+    return out
+
+
+@pytest.mark.parametrize("name,fix", CASES, ids=[c[0] for c in CASES])
+def test_local_clustering(spark, name, fix):
+    from olive_spark.algorithms.triangles import local_clustering
+
+    n, e = fix
+    g = Graph.from_edge_list(spark, e, n_vertices=n, num_partitions=4)
+    rows = {r["id"]: r for r in local_clustering(g).collect()}
+    assert len(rows) == n
+    exp = lcc_oracle(n, e)
+    got = np.array([rows[i]["lcc"] for i in range(n)])
+    assert np.allclose(got, exp, atol=1e-12)
+    # deg column is the simple undirected degree
+    for v in range(n):
+        nbrs = {d for s, d in e if s == v and s != d} | {s for s, d in e if d == v and s != d}
+        assert rows[v]["deg"] == len(nbrs)
