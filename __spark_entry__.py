@@ -1265,3 +1265,63 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = dict(_BASE_ORACLES10())
     o["clustering_coeff"] = _CLUSTERING_SQL
     return o
+
+
+# ---------------------------------------------------------------------------
+# Round 4: per-target anchor-text profile over the ingest path — the
+# web ranking / query-expansion signal. The page fixture encodes the
+# bidirectional 100-chain with anchor text "Link from {i} to page {j}"
+# (pages.html_of), so the oracle is closed-form SQL.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_STATS_SQL = """
+WITH r AS (SELECT range AS i FROM range(99)),
+e AS (SELECT i AS src, i + 1 AS dst FROM r
+      UNION ALL SELECT i + 1 AS src, i AS dst FROM r),
+a AS (SELECT 'https://site' || CAST(dst % 97 AS VARCHAR) || '.example/p'
+               || lpad(CAST(dst AS VARCHAR), 8, '0') AS dst_url,
+             'Link from ' || CAST(src AS VARCHAR) || ' to page '
+               || CAST(dst AS VARCHAR) AS anchor
+      FROM e)
+SELECT dst_url,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique_anchors,
+       MIN(anchor) AS first_anchor,
+       CAST(SUM(len(string_split(anchor, ' '))) AS BIGINT) AS anchor_tokens
+FROM a GROUP BY dst_url
+""".strip()
+
+
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.fixtures import chain_graph
+    from olive_spark.ingest.extract import anchor_stats, extract_anchors_df
+    from olive_spark.ingest.pages import synth_pages
+
+    n, e = chain_graph(100)
+    pages = synth_pages(spark, n, e, num_partitions=8)
+    out = anchor_stats(extract_anchors_df(pages))
+    return out.select(
+        "dst_url",
+        F.col("n_anchors").cast("long").alias("n_anchors"),
+        F.col("n_unique_anchors").cast("long").alias("n_unique_anchors"),
+        "first_anchor",
+        F.col("anchor_tokens").cast("long").alias("anchor_tokens"),
+    )
+
+
+_BASE_QUERIES11 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES11())
+    q["pages_anchor_stats"] = _q_anchor_stats
+    return q
+
+
+_BASE_ORACLES11 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES11())
+    o["pages_anchor_stats"] = _ANCHOR_STATS_SQL
+    return o

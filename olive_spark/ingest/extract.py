@@ -74,3 +74,78 @@ def extract_links_df(pages: DataFrame) -> DataFrame:
         pages.select("url", _extract_links_udf(F.col("html")).alias("hrefs"))
         .select(F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url"))
     )
+
+
+# --- anchor text (round 4) --------------------------------------------------
+# The per-link anchor text is the classic web ranking / query-expansion
+# signal; at 100 TB it is extracted in the same Arrow batch pass as the
+# link targets and aggregated per TARGET url with one map-side-combined
+# groupBy (no extra scan of the pages table).
+
+_ANCHOR_RE = re.compile(rb'<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a>', re.S)
+
+
+def extract_anchors_bytes(html: bytes) -> list[tuple[str, str]]:
+    """(href, anchor_text) per <a>, document order, duplicates kept.
+    Anchor text is the tag-stripped, whitespace-collapsed inner HTML —
+    the same normalization pipeline as extract_text_bytes."""
+    out = []
+    for href, inner in _ANCHOR_RE.findall(html):
+        txt = _WS_RE.sub(b" ", _TAG_RE.sub(b" ", inner)).strip()
+        out.append((href.decode("utf-8"), txt.decode("utf-8")))
+    return out
+
+
+_ANCHOR_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ANCHOR_SCHEMA)
+def _extract_anchors_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_anchors_bytes)
+
+
+def extract_anchors_df(pages: DataFrame) -> DataFrame:
+    """pages -> (src_url, dst_url, anchor), one row per <a> tag.
+
+    Only (url, html) are read from the scan (column pruning); the
+    explode happens after the Arrow batch extraction, so each html blob
+    crosses the JVM<->Arrow boundary exactly once for both the link
+    target and its anchor text.
+    """
+    return (
+        pages.select("url", _extract_anchors_udf(F.col("html")).alias("anchors"))
+        .select(F.col("url").alias("src_url"), F.explode("anchors").alias("a"))
+        .select(
+            "src_url",
+            F.col("a.href").alias("dst_url"),
+            F.col("a.text").alias("anchor"),
+        )
+    )
+
+
+def anchor_stats(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: (dst_url, n_anchors,
+    n_unique_anchors, first_anchor, anchor_tokens).
+
+    One hash aggregation on dst_url (map-side partial combine; the only
+    shuffle); `first_anchor` is the lexicographic MIN so the result is
+    deterministic under any partitioning. At web scale the dst_url key
+    is exactly as skewed as in-degree — the same AQE skew handling as
+    the graph aggregations applies.
+    """
+    tok = F.when(F.col("anchor") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("anchor"), " "))
+    )
+    return anchors.groupBy("dst_url").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("anchor").alias("n_unique_anchors"),
+        F.min("anchor").alias("first_anchor"),
+        F.sum(tok).alias("anchor_tokens"),
+    )

@@ -102,3 +102,44 @@ def test_testdata_graph(spark):
     s = spark.table("supplier").count()
     assert g.edges.filter(F.col("src") >= s).count() == 0
     assert g.edges.filter(F.col("dst") < s).count() == 0
+
+
+def test_anchor_extraction_golden():
+    """Serial anchor extractor: order, duplicates, tag-stripped inner
+    HTML, whitespace collapse."""
+    from olive_spark.ingest.extract import extract_anchors_bytes
+
+    html = (
+        b'<html><body><a href="u1">Hello <b>world</b></a>'
+        b'<a class="x" href="u2">\n  spaced\t text </a>'
+        b'<a href="u1">Hello <b>world</b></a>'
+        b'<a href="u3"></a></body></html>'
+    )
+    assert extract_anchors_bytes(html) == [
+        ("u1", "Hello world"),
+        ("u2", "spaced text"),
+        ("u1", "Hello world"),
+        ("u3", ""),
+    ]
+
+
+def test_anchor_stats_chain(spark):
+    """anchor_stats over the synthesized chain pages == closed form:
+    every target j has one anchor per in-neighbor i, text
+    'Link from i to page j' (6 tokens each)."""
+    from olive_spark.fixtures import chain_graph
+    from olive_spark.ingest.extract import anchor_stats, extract_anchors_df
+
+    n, e = chain_graph(10)
+    pages = synth_pages(spark, n, e, num_partitions=4)
+    rows = {r["dst_url"]: r for r in anchor_stats(extract_anchors_df(pages)).collect()}
+    indeg = {}
+    for s, d in e:
+        indeg.setdefault(d, []).append(s)
+    assert len(rows) == len(indeg)
+    for j, srcs in indeg.items():
+        r = rows[url_of(j)]
+        assert r["n_anchors"] == len(srcs)
+        assert r["n_unique_anchors"] == len(srcs)  # distinct srcs -> distinct text
+        assert r["first_anchor"] == min(f"Link from {i} to page {j}" for i in srcs)
+        assert r["anchor_tokens"] == 6 * len(srcs)
