@@ -21,7 +21,8 @@ table on the dst side every round):
   (probe in place, shuffle_hash on the narrow side — the same shape as
   the pregel edge phase, pregel.py:310-332) and sends one decrement
   message per incident edge; survivors subtract the map-side-combined
-  decrement count. Messages to already-removed vertices are harmless.
+  decrement count. Messages to already-removed vertices are dropped
+  (their deg stays frozen at its peel-time value).
 - Per-round data volume is O(edges incident to the peeled set), not
   O(E): asymptotically cheaper than recomputing degrees each round.
 - ONE barrier action per round (counts peels + their degrees, which
@@ -121,7 +122,12 @@ def _kcore_impl(graph: Graph, k: int, max_rounds: int) -> KCoreResult:
             state.join(msgs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
-                (F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
+                # removed vertices keep their peel-time deg frozen
+                # (decrements from later-peeled neighbors would drive it
+                # negative — harmless but confusing in dumps)
+                F.when(
+                    F.col("removed"), F.col("deg")
+                ).otherwise(F.col("deg") - F.coalesce("dec", F.lit(0))).alias("deg"),
                 (F.col("removed") | (F.col("deg") < k)).alias("removed"),
                 peel_cond.cast("long").alias("_peeled"),
                 F.when(peel_cond, F.col("deg")).otherwise(F.lit(0)).alias("_peel_deg"),
