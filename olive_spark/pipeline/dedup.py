@@ -154,12 +154,58 @@ def minhash_lsh_candidates(
     through any other band it shares; truly identical docs are better
     served by ``exact_duplicates`` anyway, which is O(n). None = no cap.
     """
+    pairs, sigs = _lsh_bucket_pairs(
+        docs, text_col, num_hashes, bands, shingle_k, max_bucket_size
+    )
+    # est_jaccard = matching signature positions / num_hashes; the
+    # signatures are joined back PER PAIR (candidate pairs are orders of
+    # magnitude fewer than banded rows — see _lsh_bucket_pairs).
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    match_cnt = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(match_cnt / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def _lsh_bucket_pairs(
+    docs: DataFrame,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    max_bucket_size: int | None,
+):
+    """Distinct candidate pairs (doc_a, doc_b) from the banded bucket
+    self-join, plus the CACHED signature table for callers that need it.
+
+    Scale discipline (measured on the 10^6-doc record run, BENCH.md):
+    the banded layout must carry ONLY (doc_id, band, bucket). Its first
+    version carried the 8*num_hashes-byte sig array through the
+    bucket-size join and both self-join sides — three exchanges of the
+    wide payload, ~11 GB of the run's shuffle at 10^6 docs. Narrow rows
+    here are ~24 bytes; signatures re-join per candidate PAIR (orders
+    of magnitude fewer rows than the banded table).
+    """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, num_hashes, shingle_k).cache()
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -179,7 +225,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
         bucket_sizes = banded.groupBy("band", "bucket").agg(
@@ -190,35 +236,15 @@ def minhash_lsh_candidates(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
-    a = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
-    )
+    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()  # a pair may collide in several bands
     )
-    # est_jaccard = matching signature positions / num_hashes
-    match_cnt = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"),
-            F.col("sig_b"),
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(match_cnt / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
-    )
+    return pairs, sigs
 
 
 def minhash_near_duplicates(
@@ -242,9 +268,11 @@ def minhash_near_duplicates(
     J >= 0.7), the result equals the exact all-pairs answer; any miss
     is a (quantified, tunable) recall gap on borderline pairs only.
     """
-    cands = minhash_lsh_candidates(
+    # bucket pairs only — est_jaccard would be discarded here, so the
+    # signature join-back is skipped entirely on the verified path
+    cands, _sigs = _lsh_bucket_pairs(
         docs, text_col, num_hashes, bands, shingle_k, max_bucket_size
-    ).select("doc_a", "doc_b")
+    )
     sh = shingles(docs, text_col, k=shingle_k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
