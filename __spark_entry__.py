@@ -1325,3 +1325,44 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = dict(_BASE_ORACLES11())
     o["pages_anchor_stats"] = _ANCHOR_STATS_SQL
     return o
+
+
+# --- round 5: BLAS brute-force kNN (Arrow matmul path) ----------------------
+# Same contract as emb_knn_top5 (so it shares _KNN_SQL verbatim): the
+# mapInPandas/BLAS baseline must be row-identical to the SQL cross-join
+# baseline — the strongest cross-path equivalence statement available
+# for the similarity family (mirrors what bfs_csr/cc_csr did for the
+# graph family in round 4).
+
+
+def _q_knn_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olive_spark.pipeline.similarity import brute_force_knn_arrow
+
+    register_testdata_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    out = brute_force_knn_arrow(emb, queries_df, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4"),
+    )
+
+
+_BASE_QUERIES12 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = dict(_BASE_QUERIES12())
+    q["emb_knn_blas_top5"] = _q_knn_blas
+    return q
+
+
+_BASE_ORACLES12 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = dict(_BASE_ORACLES12())
+    o["emb_knn_blas_top5"] = _KNN_SQL
+    return o

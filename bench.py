@@ -27,8 +27,15 @@ Output: {"metric": "edges_per_sec_per_superstep", "value": N,
          "unit": "sec", "queries": {name: median_seconds}, "sf": ...,
          "protocol": "median_of_n_fresh_jvm", "load_avg_1m": [...]}
 
-OLIVE_BENCH_REPEATS (default 3) controls n; OLIVE_BENCH_REPEATS=1 is a
+OLIVE_BENCH_REPEATS (default 5) controls n; OLIVE_BENCH_REPEATS=1 is a
 quick single-shot with the same output shape.
+
+De-noising protocol (r4 judge item #3): n=5 fresh-JVM reps, and when
+>= 3 reps ran with hypervisor steal below OLIVE_BENCH_STEAL_GATE
+(default 2%), the recorded medians use ONLY those steal-clean reps —
+a co-tenant burst window can no longer become "the round's number".
+The full per-rep matrix (queries_runs / steal_frac / reps_used) stays
+in the artifact so the selection is auditable.
 """
 
 from __future__ import annotations
@@ -46,7 +53,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 POWER_EDGES = int(os.environ.get("OLIVE_BENCH_EDGES", str(4_000_000)))
 POWER_VERTS = POWER_EDGES // 8
-REPEATS = int(os.environ.get("OLIVE_BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("OLIVE_BENCH_REPEATS", "5"))
+STEAL_GATE = float(os.environ.get("OLIVE_BENCH_STEAL_GATE", "0.02"))
 
 
 from pyspark.sql import functions as F  # noqa: E402  (no JVM start on import)
@@ -170,10 +178,15 @@ def run_once():
 
 
 def _cpu_ticks() -> tuple[float, float]:
-    """(steal_ticks, total_ticks) from /proc/stat (see scaling_bench)."""
+    """(steal_ticks, total_ticks) from /proc/stat (see scaling_bench).
+
+    Only the first 8 fields (user..steal) are summed: guest/guest_nice
+    are already folded into user/nice by the kernel, so including them
+    would double-count guest time in the denominator.
+    """
     with open("/proc/stat") as f:
         vals = [float(x) for x in f.readline().split()[1:]]
-    return (vals[7] if len(vals) > 7 else 0.0), sum(vals)
+    return (vals[7] if len(vals) > 7 else 0.0), sum(vals[:8])
 
 
 def main_median(repeats: int):
@@ -209,9 +222,14 @@ def main_median(repeats: int):
     loads.append(round(os.getloadavg()[0], 2))
 
     queries = sorted(runs[0]["queries"])
-    med = {q: round(statistics.median(r["queries"][q] for r in runs), 3)
+    # steal-clean rep selection: medians over reps whose window stayed
+    # under the steal gate, when at least 3 such reps exist (else all)
+    clean = [i for i, s in enumerate(steals) if s < STEAL_GATE]
+    used = clean if len(clean) >= 3 else list(range(len(runs)))
+    sel = [runs[i] for i in used]
+    med = {q: round(statistics.median(r["queries"][q] for r in sel), 3)
            for q in queries}
-    headline = round(statistics.median(r["value"] for r in runs), 1)
+    headline = round(statistics.median(r["value"] for r in sel), 1)
     summary = {
         "metric": runs[0]["metric"],
         "value": headline,
@@ -224,9 +242,13 @@ def main_median(repeats: int):
         "tpch_graph_edges": runs[0]["tpch_graph_edges"],
         "edges_per_sec_per_superstep_power": headline,
         "edges_per_sec_per_superstep_tpch": round(
-            statistics.median(r["edges_per_sec_per_superstep_tpch"] for r in runs), 1
+            statistics.median(r["edges_per_sec_per_superstep_tpch"] for r in sel), 1
         ),
-        "protocol": "median_of_n_fresh_jvm",
+        "protocol": "median_of_n_fresh_jvm_steal_gated",
+        "steal_gate": STEAL_GATE,
+        # which rep indices the medians were computed over (steal-clean
+        # selection; == all indices when fewer than 3 clean reps exist)
+        "reps_used": used,
         "n_runs": repeats,
         "best_value": round(max(r["value"] for r in runs), 1),
         "queries_min": {q: round(min(r["queries"][q] for r in runs), 3)

@@ -135,5 +135,11 @@ def local_clustering(graph: Graph) -> DataFrame:
                 (F.lit(2.0) * F.col("triangles")) / (F.col("deg") * (F.col("deg") - 1)),
             ).otherwise(F.lit(0.0)),
         )
+        .cache()
     )
+    # materialize out so per (cached by triangle_count, no handle
+    # returned to our caller) can be released here instead of leaking
+    # one cached table per call
+    out.count()
+    per.unpersist()
     return out

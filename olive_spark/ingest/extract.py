@@ -82,16 +82,32 @@ def extract_links_df(pages: DataFrame) -> DataFrame:
 # link targets and aggregated per TARGET url with one map-side-combined
 # groupBy (no extra scan of the pages table).
 
-_ANCHOR_RE = re.compile(rb'<a\s[^>]*href="([^"]+)"[^>]*>(.*?)</a>', re.S)
-
-
 def extract_anchors_bytes(html: bytes) -> list[tuple[str, str]]:
     """(href, anchor_text) per <a>, document order, duplicates kept.
     Anchor text is the tag-stripped, whitespace-collapsed inner HTML —
-    the same normalization pipeline as extract_text_bytes."""
+    the same normalization pipeline as extract_text_bytes.
+
+    Tag discovery uses the SAME regex as extract_links_bytes (_HREF_RE),
+    so the two extractors always agree on the link multiset — including
+    malformed HTML. An anchor whose closing </a> is missing, or whose
+    inner span opens another <a> first (unclosed/nested markup), gets
+    anchor text "" rather than being dropped (the old closed-tag-only
+    regex silently dropped such links, diverging from the edge list).
+    """
     out = []
-    for href, inner in _ANCHOR_RE.findall(html):
-        txt = _WS_RE.sub(b" ", _TAG_RE.sub(b" ", inner)).strip()
+    matches = list(_HREF_RE.finditer(html))
+    for i, m in enumerate(matches):
+        href = m.group(1)
+        txt = b""
+        gt = html.find(b">", m.end())
+        if gt != -1:
+            close = html.find(b"</a>", gt + 1)
+            nxt = matches[i + 1].start() if i + 1 < len(matches) else -1
+            # well-formed only if this tag closes before the next link
+            # tag opens — otherwise the inner span is ambiguous
+            if close != -1 and (nxt == -1 or close < nxt):
+                inner = html[gt + 1 : close]
+                txt = _WS_RE.sub(b" ", _TAG_RE.sub(b" ", inner)).strip()
         out.append((href.decode("utf-8"), txt.decode("utf-8")))
     return out
 

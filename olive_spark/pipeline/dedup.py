@@ -117,15 +117,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — num_hashes min-hash values.
 
-    Permutation-free construction: h_i(s) = xxhash64(shingle, seed=i);
-    sig[i] = min over shingles. One explode + one groupBy; the k hashes
-    are computed as k columns in a single pass (no k-fold explode).
+    Permutation-free Kirsch-Mitzenmacher construction: each shingle is
+    hashed TWICE (h1 = xxhash64(shingle), h2 = xxhash64(shingle, 1))
+    and the k hash families are the derived combinations
+    g_i = h1 + i*h2; sig[i] = min over shingles of g_i. One explode +
+    one groupBy; per shingle row the cost is 2 xxhash64 calls + k
+    codegen'd multiply-adds, vs k independent xxhash64 calls before —
+    measured at 10^6 docs the signature aggregation was 99% of the
+    dedup pipeline wall time (BENCH.md 00:55), so cutting hash compute
+    ~16x at k=32 attacks exactly that stage. Candidate recall shifts
+    only marginally (the derived family is the standard double-hashing
+    scheme for minwise estimation); the verified-pair contract output
+    stays exact because candidates are re-checked with exact Jaccard.
+
+    Overflow discipline: both base hashes are reduced mod
+    2^62 // num_hashes so h1 + i*h2 stays inside int64 under Spark's
+    ANSI arithmetic — no silent wraparound, no exceptions.
     """
     sh = shingles(docs, text_col, k=shingle_k)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    m = (1 << 62) // max(num_hashes, 1)
+    h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(m))
+    h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(m))
+    mins = [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")

@@ -82,6 +82,90 @@ def brute_force_knn(
     )
 
 
+def brute_force_knn_arrow(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query, BLAS path: same output contract as
+    ``brute_force_knn`` (query_id, vec_id, cosine, rank; cosine rounded
+    to 6, ties broken on vec_id asc), but the corpus×query score matrix
+    is one numpy matmul per Arrow batch instead of per-pair SQL
+    higher-order-function evaluation.
+
+    Scale shape: the query matrix (Q×dim, e.g. 10^3×768 doubles = 6 MB)
+    is closure-captured and shipped once per executor; each corpus
+    Arrow batch emits only its LOCAL top-k rows per query (k·Q rows per
+    batch, not the full batch×Q score matrix), and a single window
+    aggregation merges local top-ks into the global top-k — the
+    map-side-combine discipline applied to kNN. At 10^6 corpus ×10^3
+    queries this is ~16× fewer scored pairs materialized than the
+    cross-join plan and every dot product is vectorized.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(np.int64)
+    qm = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm_unit = qm / np.where(qn == 0, 1.0, qn)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(m) == 0:
+                continue
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            m_unit = m / np.where(n == 0, 1.0, n)
+            # rows where either norm is 0 get cosine 0 (brute_force_knn
+            # contract: denom>0 guard)
+            s = m_unit @ qm_unit.T
+            s[(n == 0).ravel(), :] = 0.0
+            s[:, (qn == 0).ravel()] = 0.0
+            s = np.round(s, 6)
+            # self-match mask, then local top-k per query (rank on
+            # (-cosine, vec_id) — same tie-break as the SQL path)
+            kk = min(k, len(ids))
+            order = np.argsort(ids, kind="stable")
+            for qi in range(len(q_ids)):
+                col = s[:, qi].copy()
+                col[ids == q_ids[qi]] = -np.inf
+                # stable sort on vec_id then stable sort on -cosine ==
+                # lexicographic (-cosine, vec_id)
+                top = order[np.argsort(-col[order], kind="stable")[:kk]]
+                top = top[col[top] > -np.inf]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(top), q_ids[qi], np.int64),
+                        "vec_id": ids[top],
+                        "cosine": col[top],
+                    }
+                )
+
+    local_topk = embeddings.select(id_col, vec_col).mapInPandas(
+        score_batches, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

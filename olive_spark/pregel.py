@@ -172,13 +172,20 @@ class PregelResult:
     # converged=False.
     negative_cycle_suspected: bool = False
 
+    # count of _free_checkpoint calls whose unpersist raised and was
+    # swallowed (best-effort cleanup) — nonzero means superseded
+    # snapshots may still be resident, i.e. the O(1)-snapshot claim is
+    # at risk; surfaced so an RDD-leak regression is observable.
+    free_failures: int = 0
+
     # the raw checkpointed snapshot behind `state` (which is a projection)
     _raw_state: DataFrame | None = None
 
     def free(self) -> None:
         """Release the final state snapshot's storage (call after the
         caller has consumed/written `state`)."""
-        _free_checkpoint(self._raw_state or self.state)
+        if not _free_checkpoint(self._raw_state or self.state):
+            self.free_failures += 1
 
 
 #: per-pregel-invocation counter feeding the job-group prefix (see
@@ -230,7 +237,7 @@ def _local_ckpt(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-def _free_checkpoint(df: DataFrame | None) -> None:
+def _free_checkpoint(df: DataFrame | None) -> bool:
     """Unpersist the RDD behind a localCheckpointed DataFrame.
 
     localCheckpoint stores partitions at MEMORY_AND_DISK and only frees
@@ -238,15 +245,20 @@ def _free_checkpoint(df: DataFrame | None) -> None:
     that lags far behind allocation (observed: GC-thrash and 2-3x
     superstep-time degradation at 32M edges). Freeing the superseded
     snapshot explicitly keeps resident state at O(1) snapshots.
+
+    Returns False when the unpersist raised and was swallowed (cleanup
+    is best-effort and never fails the loop, but callers count the
+    failures into PregelResult so a leak regression is observable).
     """
     if df is None:
-        return
+        return True
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith("LogicalRDD"):
             plan.rdd().unpersist(False)
+        return True
     except Exception:
-        pass  # best effort — never fail the loop over cleanup
+        return False  # best effort — never fail the loop over cleanup
 
 
 def _init_state(
@@ -388,6 +400,7 @@ def _pregel_impl(
 
     metrics: list[dict] = []
     converged = False
+    free_failures = 0
     # last MATERIALIZED snapshot (with OLIVE_SNAPSHOT_EVERY>1 some
     # states are lazy plans; only a materialized successor may free it)
     last_snapshot = state
@@ -498,7 +511,8 @@ def _pregel_impl(
             # necessarily last superstep's state, which may be lazy) is
             # no longer referenced — drop it
             if last_snapshot is not state:
-                _free_checkpoint(last_snapshot)
+                if not _free_checkpoint(last_snapshot):
+                    free_failures += 1
             last_snapshot = state
 
         # ---- termination ------------------------------------------------
@@ -546,6 +560,7 @@ def _pregel_impl(
         supersteps=superstep,
         metrics=metrics,
         converged=converged,
+        free_failures=free_failures,
         _raw_state=state,
     )
 

@@ -32,6 +32,7 @@ def stream_pages_to_edges(
     checkpoint_dir: str,
     id_method: str = "hash",
     trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """readStream(pages parquet dir) -> link extraction -> edge rows.
 
@@ -44,11 +45,19 @@ def stream_pages_to_edges(
 
     Returns the StreamingQuery (file sink + checkpointLocation =
     exactly-once per micro-batch).
+
+    max_files_per_trigger bounds each micro-batch's input (production:
+    admission control for crawler burst catch-up; tests: forces a
+    multi-batch run so a crash BETWEEN batches can be exercised —
+    restart from checkpoint_dir resumes exactly where the offset log
+    committed, and sink files not recorded in _spark_metadata are
+    invisible to readers, which is the mid-batch torn-write story).
     """
     assert id_method == "hash", "streaming ingest requires stable hash ids"
-    pages = (
-        spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
-    )
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_dir)
     links = pages.select(
         F.col("url").alias("src_url"),
         F.explode(_extract_links_udf(F.col("html"))).alias("dst_url"),

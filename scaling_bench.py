@@ -93,7 +93,9 @@ def _cpu_ticks() -> tuple[float, float]:
         parts = f.readline().split()[1:]
     vals = [float(x) for x in parts]
     steal = vals[7] if len(vals) > 7 else 0.0
-    return steal, sum(vals)
+    # user..steal only: guest/guest_nice are folded into user/nice by
+    # the kernel and would double-count in the denominator
+    return steal, sum(vals[:8])
 
 
 def run_once(repo: str, cpus: int, edges: int, iters: int, vratio: int) -> dict:

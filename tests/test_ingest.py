@@ -123,6 +123,28 @@ def test_anchor_extraction_golden():
     ]
 
 
+def test_anchor_link_multiset_agreement_on_malformed_html():
+    """extract_anchors_bytes and extract_links_bytes share one tag scan:
+    on malformed HTML (unclosed anchors, nested <a href>) the href
+    multiset is identical — the unclosed/nested anchor yields text ""
+    instead of being dropped."""
+    from olive_spark.ingest.extract import extract_anchors_bytes, extract_links_bytes
+
+    html = (
+        b'<p><a href="u1">unclosed one'
+        b'<a href="u2">nested <a href="u3">inner</a> tail</a>'
+        b'<a href="u4">fine</a></p>'
+    )
+    anchors = extract_anchors_bytes(html)
+    assert [h for h, _ in anchors] == extract_links_bytes(html)
+    assert anchors == [
+        ("u1", ""),  # no </a> before the next link tag
+        ("u2", ""),  # inner <a href> opens before this one closes
+        ("u3", "inner"),
+        ("u4", "fine"),
+    ]
+
+
 def test_anchor_stats_chain(spark):
     """anchor_stats over the synthesized chain pages == closed form:
     every target j has one anchor per in-neighbor i, text

@@ -212,6 +212,28 @@ def test_brute_force_knn(spark):
     assert got == expected
 
 
+def test_brute_force_knn_arrow_equals_sql_path(spark):
+    """The BLAS mapInPandas kNN returns EXACTLY the SQL cross-join
+    path's rows (same rounding, same tie-break) — the scale baseline
+    and the oracle-checked baseline are the same function."""
+    from olive_spark.pipeline.similarity import brute_force_knn, brute_force_knn_arrow
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8))
+    vecs[13] = 0.0  # zero-norm corpus row takes cosine 0 in both paths
+    corpus = emb_df(spark, vecs).repartition(5)  # multi-batch local top-k merge
+    queries = emb_df(spark, vecs[:4])
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in brute_force_knn(corpus, queries, k=5).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in brute_force_knn_arrow(corpus, queries, k=5).collect()
+    )
+    assert got == want
+
+
 def test_lsh_dim_param_avoids_inference_job(spark):
     """With ``dim`` supplied by the caller, building the LSH plan must
     launch ZERO Spark jobs (the fallback first()-based inference costs
