@@ -138,8 +138,15 @@ def minhash_signatures(
     m = (1 << 62) // max(num_hashes, 1)
     h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(m))
     h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(m))
-    mins = [F.min(h1 + F.lit(i) * h2).alias(f"h{i}") for i in range(num_hashes)]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    # project the 2 base hashes ONCE per shingle row (pipelined, no
+    # shuffle) so the per-row hash count is 2 by construction — not a
+    # codegen subexpression-elimination accident
+    base = sh.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
+    mins = [
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = base.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
