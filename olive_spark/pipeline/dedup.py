@@ -117,36 +117,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — num_hashes min-hash values.
 
-    Permutation-free Kirsch-Mitzenmacher construction: each shingle is
-    hashed TWICE (h1 = xxhash64(shingle), h2 = xxhash64(shingle, 1))
-    and the k hash families are the derived combinations
-    g_i = h1 + i*h2; sig[i] = min over shingles of g_i. One explode +
-    one groupBy; per shingle row the cost is 2 xxhash64 calls + k
-    codegen'd multiply-adds, vs k independent xxhash64 calls before —
-    measured at 10^6 docs the signature aggregation was 99% of the
-    dedup pipeline wall time (BENCH.md 00:55), so cutting hash compute
-    ~16x at k=32 attacks exactly that stage. Candidate recall shifts
-    only marginally (the derived family is the standard double-hashing
-    scheme for minwise estimation); the verified-pair contract output
-    stays exact because candidates are re-checked with exact Jaccard.
+    Permutation-free construction: h_i(s) = xxhash64(shingle, seed=i);
+    sig[i] = min over shingles. One explode + one groupBy; the k hashes
+    are computed as k columns in a single pass (no k-fold explode).
 
-    Overflow discipline: both base hashes are reduced mod
-    2^62 // num_hashes so h1 + i*h2 stays inside int64 under Spark's
-    ANSI arithmetic — no silent wraparound, no exceptions.
+    A Kirsch-Mitzenmacher variant (2 base hashes, g_i = h1 + i*h2) was
+    A/B'd at 10^6 docs and REJECTED (BENCH.md 2026-08-18): it cut the
+    per-shingle hash count 16x but the verified-pairs stage wall time
+    did not move (2,540s vs 2,310s — the stage is not hash-bound at
+    the Spark level), and without a mod-p wraparound the high-i
+    coordinates all track argmin(h2), correlating the banded rows and
+    costing LSH recall (184,007 candidate pairs vs 199,996; chain
+    collapse no longer exact). Independent per-seed xxhash64 keeps the
+    coordinates min-wise independent and the 10^6-doc chain-collapse
+    record exact.
     """
     sh = shingles(docs, text_col, k=shingle_k)
-    m = (1 << 62) // max(num_hashes, 1)
-    h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(m))
-    h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(m))
-    # project the 2 base hashes ONCE per shingle row (pipelined, no
-    # shuffle) so the per-row hash count is 2 by construction — not a
-    # codegen subexpression-elimination accident
-    base = sh.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
     mins = [
-        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agg = base.groupBy("doc_id").agg(*mins)
+    agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
