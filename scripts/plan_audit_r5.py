@@ -3,12 +3,13 @@ round-5 plan guarantees.
 
 Checks:
 1. All round-3/4 invariants (delegates to plan_audit_r4).
-2. Kirsch-Mitzenmacher minhash: the signature aggregation's optimized
-   plan contains EXACTLY TWO xxhash64 calls on the shingle column (the
-   base hashes h1, h2) regardless of num_hashes — the k families are
-   derived multiply-adds, so per-shingle hash compute is O(1) in k
-   (r4 judge item #2; was k independent xxhash64 calls = 99% of the
-   10^6-doc dedup wall time).
+2. Minhash signature aggregation: ONE explode + ONE aggregate — the k
+   per-seed xxhash64 calls appear as k aggregate expressions over a
+   single pass (exactly num_hashes xxhash64(shingle,...) calls, one
+   Generate, no k-fold explode). The Kirsch-Mitzenmacher 2-base-hash
+   variant (r4 judge item #2) was A/B'd at 10^6 docs and REJECTED
+   (no wall-time win, LSH recall regression — BENCH.md 2026-08-18
+   09:04); this audit pins the reverted, record-proven shape.
 3. BLAS brute-force kNN: the mapInPandas local-top-k stage runs with NO
    Exchange between the corpus scan and the Python worker — the only
    shuffle in the whole query is the final window merge of per-batch
@@ -38,13 +39,28 @@ def audit_minhash_two_base_hashes(spark) -> None:
         [(0, "a b c d e"), (1, "b c d e f")], schema="doc_id long, text string"
     )
     sig = minhash_signatures(docs, num_hashes=32)
+    # default maxToStringFields truncates the 32-expr aggregate to
+    # "... 7 more fields", which would undercount the hash calls
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     plan = sig._jdf.queryExecution().optimizedPlan().toString()
     n_hash = len(re.findall(r"xxhash64\(shingle", plan))
-    assert n_hash == 2, (
-        f"expected exactly 2 base xxhash64(shingle...) calls "
-        f"(Kirsch-Mitzenmacher), found {n_hash}:\n{plan}"
+    assert n_hash == 32, (
+        f"expected exactly 32 per-seed xxhash64(shingle...) calls "
+        f"(independent min-wise coordinates, single-pass agg), "
+        f"found {n_hash}:\n{plan}"
     )
-    print("=== minhash signatures: ok (2 base hashes, 32 derived families)")
+    n_gen = plan.count("Generate ")
+    assert n_gen == 1, (
+        f"expected exactly 1 Generate (single shingle explode, no "
+        f"k-fold expansion), found {n_gen}:\n{plan}"
+    )
+    n_agg = plan.count("Aggregate ")
+    assert n_agg == 1, (
+        f"expected exactly 1 Aggregate (all k mins in one pass), "
+        f"found {n_agg}:\n{plan}"
+    )
+    print("=== minhash signatures: ok (32 independent per-seed hashes, "
+          "1 explode, 1 single-pass aggregate)")
 
 
 def audit_blas_knn_no_exchange_before_python(spark) -> None:
