@@ -151,13 +151,26 @@ def main() -> None:
         if clean_streak >= args.campaigns or n_clean_met >= args.campaigns:
             break
 
-    out = {"gate": args.gate, "attempts": results,
-           "clean_met": sum(1 for r in results
+    # merge into the existing artifact (attempts accumulate across wrapper
+    # invocations; attempt numbers are renumbered to the merged sequence)
+    path = os.path.join(REPO, "steal_gated_campaigns.json")
+    prior: list = []
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                prior = json.load(fh).get("attempts", [])
+        except (json.JSONDecodeError, OSError):
+            prior = []
+    merged = prior + results
+    for i, r in enumerate(merged):
+        r["attempt"] = i + 1
+    out = {"gate": args.gate, "attempts": merged,
+           "clean_met": sum(1 for r in merged
                             if r.get("status") == "clean" and r.get("raw_met")),
-           "raw_values": [r.get("scaling_efficiency_raw") for r in results
+           "raw_values": [r.get("scaling_efficiency_raw") for r in merged
                           if "scaling_efficiency_raw" in r]}
     print(json.dumps(out))
-    with open(os.path.join(REPO, "steal_gated_campaigns.json"), "w") as fh:
+    with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
 
 
