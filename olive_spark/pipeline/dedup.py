@@ -131,6 +131,16 @@ def minhash_signatures(
     collapse no longer exact). Independent per-seed xxhash64 keeps the
     coordinates min-wise independent and the 10^6-doc chain-collapse
     record exact.
+
+    An explode-free formulation (signature computed per-doc as
+    array_min over 32 higher-order transforms of the grams array —
+    zero shuffle) was also A/B'd at 100k docs (BENCH.md 2026-08-19,
+    bit-identical outputs) and came out at PARITY (1128s vs 1104s on
+    the quiet-host pair): the stage is bound by the shared
+    per-shingle hash+min compute, not the explode or the exchange.
+    Kept in scripts/minhash_formulation_ab.py as the zero-exchange
+    alternative for clusters where the ~N_docs-row signatures
+    shuffle matters.
     """
     sh = shingles(docs, text_col, k=shingle_k)
     mins = [
