@@ -41,12 +41,11 @@ def connected_components(
         accum_default=None,
         full_frontier=False,
     )
-    res = pregel(g, program, max_iterations=max_iterations,
-                 checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
-                 resume=resume)
-    if symmetrize:
-        g.unpersist()
-    return res
+    # NOTE: the symmetrized closure is memoized on `graph` (shared with
+    # label propagation etc.); graph.unpersist() releases it.
+    return pregel(g, program, max_iterations=max_iterations,
+                  checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
+                  resume=resume)
 
 
 def connected_components_fixed(graph: Graph, iterations: int) -> PregelResult:
@@ -61,9 +60,7 @@ def connected_components_fixed(graph: Graph, iterations: int) -> PregelResult:
         accum_default=None,
         full_frontier=True,  # fixed rounds: no frontier, no early stop
     )
-    res = pregel(g, program, max_iterations=iterations)
-    g.unpersist()
-    return res
+    return pregel(g, program, max_iterations=iterations)
 
 
 def connected_components_stars(

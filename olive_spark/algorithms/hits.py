@@ -75,7 +75,11 @@ def _hits_impl(graph: Graph, iterations: int, broadcast_threshold: int) -> DataF
     # and without this the full E-sized table re-exchanged per round
     # (round-2 judge finding #1).
     rev = graph.reversed_edges()
-    verts = graph.degrees().select("id")  # cached vertex table
+    # the cached vertex table itself — HITS never needs degrees, so
+    # don't force the degree aggregation (one groupBy over E + join)
+    # just to get the id column (guide §1.2: don't compute things you
+    # throw away)
+    verts = graph.vertices
 
     state = verts.select("id", F.lit(1.0).alias("hub"))
     state = state.repartition(graph.num_partitions, "id").localCheckpoint(

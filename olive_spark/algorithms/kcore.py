@@ -64,7 +64,7 @@ def kcore(graph: Graph, k: int, max_rounds: int = 100) -> KCoreResult:
         raise ValueError("k must be >= 0")
     if k == 0:
         # 0-core = every vertex (including isolated ones)
-        state = graph.degrees().select("id", F.lit(True).alias("in_core"))
+        state = graph.vertices.select("id", F.lit(True).alias("in_core"))
         return KCoreResult(state=state, rounds=0, converged=True)
     with stable_partitioning(graph.edges.sparkSession):
         return _kcore_impl(graph, k, max_rounds)
@@ -72,7 +72,9 @@ def kcore(graph: Graph, k: int, max_rounds: int = 100) -> KCoreResult:
 
 def _kcore_impl(graph: Graph, k: int, max_rounds: int) -> KCoreResult:
     edges = graph.edges
-    verts = graph.degrees().select("id")
+    # cached vertex table directly — the peel state's degree column is
+    # the SYMMETRIZED degree computed below, not graph.degrees()
+    verts = graph.vertices
     P = graph.num_partitions
 
     # One-time layout: symmetrized closure, partitioned+sorted by src,

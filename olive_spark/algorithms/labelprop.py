@@ -56,9 +56,8 @@ def label_propagation(
         accum_default=None,  # no neighbors -> keep label (cond AND not-null)
         full_frontier=True,
     )
-    res = pregel(g, program, max_iterations=iterations,
-                 checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
-                 resume=resume)
-    if symmetrize:
-        g.unpersist()
-    return res
+    # the symmetrized closure is memoized on `graph` (shared with CC
+    # etc.); graph.unpersist() releases it
+    return pregel(g, program, max_iterations=iterations,
+                  checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
+                  resume=resume)

@@ -11,11 +11,25 @@ The one reference-app-suite algorithm that is NOT gather-apply-scatter
    lowest-ranked vertex, and every vertex's oriented out-degree is
    O(sqrt(E)) — the classic skew cure that keeps hub adjacency
    manageable at web scale.
-3. wedges = oriented ⋈ oriented on (a->b, a->c), b<c by rank;
-   triangles = wedges semi-joined against the oriented edge set (b->c).
+3. wedges = oriented ⋈ oriented on (a->b, a->c), b<c by id;
+   triangles = wedges semi-joined against the canonical edge set (b,c).
 
-Three shuffles total, all equi-joins Catalyst can plan (sort-merge +
-AQE skew handling); no UDFs, no driver-side iteration.
+Plan shape (round-6 optimization pass, guide §2.3/§2.4/§3.1):
+- the canonical edge set ``und`` is cached once and reused by the
+  degree aggregation, the orientation join and the closing-edge side;
+- per-vertex simple degrees are one explode+groupBy (not a 2x union
+  scan) and are BROADCAST onto the edge set when the vertex count is
+  small enough (env ``OLIVE_TRI_DEG_BROADCAST_MAX``, default 4M rows)
+  — at web scale the fallback is the shuffle join;
+- the oriented edge set is repartitioned by the wedge pivot ``u`` and
+  cached, so the wedge self-join is a ZERO-exchange co-partitioned
+  shuffled-hash join;
+- the closing-edge semi join probes ``und`` directly (canonical (b,c)
+  pairs, already hash-partitioned by (a,b) from the dedup exchange) —
+  half the build rows of the old oriented ∪ reversed(oriented) union,
+  and no exchange on the build side;
+- the whole query runs under stable_partitioning so the cached
+  layouts' partition counts line up (AQE skew handling stays on).
 
 Per-vertex counts: each closed wedge (a,b,c) contributes one triangle
 to a, b and c — explode + groupBy.
@@ -23,15 +37,25 @@ to a, b and c — explode + groupBy.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from olive_spark.graph import Graph
+from olive_spark.pregel import stable_partitioning
+
+#: broadcast the (vertex, degree) table onto the edge set below this
+#: many vertices (~128MB built at the default); above it — or on a
+#: cluster where executors are leaner — the degree attach falls back to
+#: shuffle joins. Override with OLIVE_TRI_DEG_BROADCAST_MAX.
+TRI_DEG_BROADCAST_MAX = int(os.environ.get("OLIVE_TRI_DEG_BROADCAST_MAX", "4000000"))
 
 
-def _oriented_edges(graph: Graph) -> DataFrame:
-    """Canonical undirected edge set, oriented by (degree, id) rank."""
-    und = (
+def _undirected_simple(graph: Graph) -> DataFrame:
+    """Canonical simple undirected edge set: (a, b) with a < b,
+    self-loops dropped, duplicates removed."""
+    return (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"),
@@ -39,15 +63,25 @@ def _oriented_edges(graph: Graph) -> DataFrame:
         )
         .distinct()
     )
-    # undirected degree on the simple graph
+
+
+def _oriented_edges(graph: Graph, und: DataFrame | None = None) -> DataFrame:
+    """Canonical undirected edge set, oriented by (degree, id) rank."""
+    if und is None:
+        und = _undirected_simple(graph)
+    # undirected degree on the simple graph: one explode + one groupBy
+    # (map-side combined) instead of a two-scan union
     deg = (
-        und.select(F.col("a").alias("v"))
-        .unionByName(und.select(F.col("b").alias("v")))
+        und.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    if graph.vertex_count() <= TRI_DEG_BROADCAST_MAX:
+        # deg is <= V rows of (long, long): broadcast both attach joins
+        # so the E-sized edge set is never exchanged for them
+        da, db = F.broadcast(da), F.broadcast(db)
     withdeg = und.join(da, "a").join(db, "b")
     # orient low (deg, id) -> high (deg, id); total order, no ties
     lo_first = (F.col("deg_a") < F.col("deg_b")) | (
@@ -64,16 +98,31 @@ def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
 
     Every vertex of the graph appears in per_vertex (0 for none).
     """
-    spark = graph.edges.sparkSession
-    oriented = _oriented_edges(graph).cache()
+    with stable_partitioning(graph.edges.sparkSession):
+        return _triangle_count_impl(graph)
+
+
+def _triangle_count_impl(graph: Graph) -> tuple[DataFrame, int]:
+    und = _undirected_simple(graph).cache()
+    oriented = (
+        _oriented_edges(graph, und)
+        .repartition(graph.num_partitions, "u")
+        .cache()
+    )
 
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
-    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c")).unionByName(
-        oriented.select(F.col("v").alias("b"), F.col("u").alias("c"))
-    )
-    tris = wedges.join(closing, ["b", "c"], "left_semi").cache()  # closed wedges
+    # co-partitioned self-join on the cached (u-partitioned) layout:
+    # no exchange on either side; shuffled-hash build instead of
+    # sorting both sides
+    wedges = e1.join(e2.hint("shuffle_hash"), "a").filter(F.col("b") < F.col("c"))
+    # a wedge's legs both point up in (deg, id) rank and b < c by id, so
+    # the closing edge between b and c is exactly the canonical pair
+    # (b, c) — probe ``und`` itself (half the rows of the old
+    # oriented ∪ reversed union, and its dedup exchange already
+    # partitioned it by these keys)
+    closing = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closing.hint("shuffle_hash"), ["b", "c"], "left_semi")
 
     per = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
@@ -88,8 +137,8 @@ def triangle_count(graph: Graph) -> tuple[DataFrame, int]:
     # one action materializes per_all; total = sum/3 (each triangle
     # contributes once to each of its three vertices)
     s = per_all.agg(F.sum("triangles").alias("s")).first()["s"] or 0
+    und.unpersist()
     oriented.unpersist()
-    tris.unpersist()
     return per_all, int(s) // 3
 
 
@@ -102,22 +151,15 @@ def local_clustering(graph: Graph) -> DataFrame:
     The closed-wedge count comes from :func:`triangle_count` (the
     degree-oriented join plan); the denominator's undirected simple
     degree is one extra dedup'd scan of the edge set — both sides are
-    single groupBy aggregations, so the whole query is three equi-join
-    shuffles + two aggs, no UDFs. (Reference computes the same simple-
-    graph statistics family from its CSR degrees, csrGraph.h:253-284.)
+    single groupBy aggregations, so the whole query is a handful of
+    equi-join shuffles + two aggs, no UDFs. (Reference computes the same
+    simple-graph statistics family from its CSR degrees,
+    csrGraph.h:253-284.)
     """
     per, _ = triangle_count(graph)
-    und = (
-        graph.edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
     deg = (
-        und.select(F.col("a").alias("id"))
-        .unionByName(und.select(F.col("b").alias("id")))
+        _undirected_simple(graph)
+        .select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )

@@ -290,8 +290,8 @@ def cc_csr(
     out = state.select("id", F.col("component").cast("long").alias("component"))
     if own_blocks:
         blocks.unpersist()
-        if sym is not None:
-            sym.unpersist()
+        # sym is the graph's memoized symmetrized closure (shared with
+        # the DataFrame CC/LP paths) — graph.unpersist() releases it
     return out
 
 

@@ -81,6 +81,7 @@ class Graph:
     num_partitions: int = 32
     _degrees: DataFrame | None = field(default=None, repr=False)
     _reversed: DataFrame | None = field(default=None, repr=False)
+    _symmetrized: "Graph | None" = field(default=None, repr=False)
     _vertex_count: int | None = field(default=None, repr=False)
     _edge_count: int | None = field(default=None, repr=False)
 
@@ -363,18 +364,35 @@ class Graph:
 
         Used by connected components / label propagation, which are
         defined on the undirected closure (FIXTURES.md cc_out).
+
+        Memoized on the graph (same policy as ``degrees`` /
+        ``reversed_edges``): the closure's one-time edge layout
+        (union + repartition by src + cache) is built once and reused
+        by every consumer — CC and label propagation in the same
+        session no longer each rebuild a 2E-row cached layout. The
+        returned Graph SHARES this graph's cached vertex table (same
+        id space — re-partitioning and re-caching it was pure waste).
+        Ownership: do NOT unpersist the returned graph directly;
+        ``self.unpersist()`` releases it together with the other
+        derived layouts.
         """
-        rev = self.edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-        )
-        sym = self.edges.unionByName(rev)
-        g = Graph.from_edges(
-            self.edges.sparkSession,
-            sym,
-            vertices=self.vertices,
-            num_partitions=self.num_partitions,
-        )
-        return g
+        if self._symmetrized is None:
+            rev = self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+            sym = (
+                self.edges.unionByName(rev)
+                .repartition(self.num_partitions, "src")
+                .sortWithinPartitions("src")
+                .cache()
+            )
+            self._symmetrized = Graph(
+                vertices=self.vertices,
+                edges=sym,
+                num_partitions=self.num_partitions,
+                _vertex_count=self._vertex_count,
+            )
+        return self._symmetrized
 
     def degree_histogram(self) -> DataFrame:
         """log2-bucketed out-degree histogram (csrGraph.h:253-284).
@@ -401,3 +419,9 @@ class Graph:
             self._degrees.unpersist()
         if self._reversed is not None:
             self._reversed.unpersist()
+        if self._symmetrized is not None:
+            # shares self.vertices (already unpersisted above — double
+            # unpersist is a harmless no-op); cascades to the closure's
+            # own edge layout and derived caches
+            self._symmetrized.unpersist()
+            self._symmetrized = None

@@ -102,11 +102,42 @@ def build_graph_from_pages(
     Returns (graph, vertices_with_urls) — the id<->url mapping is kept
     so results can be joined back to urls (the multi-GPU engine's
     global-id remap, olive.h:416-426, is exactly this join).
+
+    Round-6 optimization pass (guide §4.1/§2.4): the url+href
+    extraction is materialized ONCE (eager localCheckpoint of the
+    narrow (url, hrefs) projection) and both the vertex branch
+    (distinct urls) and the edge branch (exploded links) read that
+    snapshot — previously each branch recomputed the full pages
+    subtree, paying the Arrow link-extraction UDF (and, for synthetic
+    page tables, the page generation itself) twice. The heavy ``html``
+    column never crosses the Python boundary more than once and never
+    enters a shuffle.
+
+    ``hash`` ids additionally skip the url-string joins entirely:
+    id = xxhash64(url) is computable directly on the link rows
+    (src_url is a page url by construction; dst resolution becomes a
+    semi-join of 8-byte hashes against the vertex ids instead of an
+    equi-join carrying url strings). Equivalent to the string join
+    under the same no-collision assumption the hash id scheme itself
+    already makes.
     """
-    links = extract_links_df(pages)
-    urls = pages.select("url").distinct()
+    extracted = pages.select(
+        "url", _extract_links_udf_col(pages)
+    ).localCheckpoint(eager=True)
+    links = extracted.select(
+        F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url")
+    )
+    urls = extracted.select("url").distinct()
     vertices = assign_ids(urls, method=id_method).cache()
-    edges = resolve_edges(links, vertices)
+    if id_method == "hash":
+        edges = links.select(
+            F.xxhash64("src_url").alias("src"),
+            F.xxhash64("dst_url").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        ).join(vertices.select("id").alias("v"), F.col("dst") == F.col("v.id"),
+               "left_semi")
+    else:
+        edges = resolve_edges(links, vertices)
     graph = Graph.from_edges(
         spark,
         edges,
@@ -114,6 +145,15 @@ def build_graph_from_pages(
         num_partitions=num_partitions,
     )
     return graph, vertices
+
+
+def _extract_links_udf_col(pages: DataFrame):
+    """hrefs column for the single-pass extraction above (kept out of
+    the module top level so extract.py stays the single home of the
+    UDFs)."""
+    from olive_spark.ingest.extract import _extract_links_udf
+
+    return _extract_links_udf(F.col("html")).alias("hrefs")
 
 
 def host_graph_edges(pages: DataFrame) -> DataFrame:

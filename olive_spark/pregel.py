@@ -261,10 +261,36 @@ def _free_checkpoint(df: DataFrame | None) -> bool:
         return False  # best effort — never fail the loop over cleanup
 
 
+def _uses_outdeg(program: PregelProgram) -> bool:
+    """True when any program expression references the ``outdeg`` column.
+
+    Detection is textual over the Column trees' string forms: a Column
+    that references ``outdeg`` always prints the name, so false
+    negatives are impossible; a user state column merely *containing*
+    the substring keeps the degree column (safe direction). Programs
+    that never touch degrees (BFS/CC/SSSP/label propagation) then skip
+    the whole degree aggregation — one groupBy over E + join + cache —
+    and drop a dead long column from every per-superstep snapshot and
+    shuffle (guide §2.3: shuffle fewer bytes / don't compute what you
+    throw away).
+    """
+    exprs: list[Any] = list(program.init.values())
+    exprs.append(program.gather)
+    exprs.extend(program.update.values())
+    if program.cond is not None:
+        exprs.append(program.cond)
+    if program.halt_agg is not None:
+        exprs.append(program.halt_agg)
+    return any("outdeg" in str(e) for e in exprs)
+
+
 def _init_state(
-    graph: Graph, program: PregelProgram, vertex_attrs: DataFrame | None = None
+    graph: Graph,
+    program: PregelProgram,
+    vertex_attrs: DataFrame | None = None,
+    with_outdeg: bool = True,
 ) -> DataFrame:
-    """state = vertices ⋈ degrees + init columns (vertexMap init,
+    """state = vertices [⋈ degrees] + init columns (vertexMap init,
     PageRank.cu:77-87 / BFS.cu:101-109).
 
     vertex_attrs: optional (id, *attr) DataFrame broadcast-left-joined
@@ -273,13 +299,90 @@ def _init_state(
     literals — the scale-safe alternative to an `isin([...])` list for
     10^5+ seed sets. Attr columns not captured by an init expression
     are dropped from the state.
+
+    with_outdeg=False (program never references degrees) builds from
+    the cached vertex table directly — no degree aggregation, no
+    ``outdeg`` column in the state. Both bases are cached DataFrames
+    hash-partitioned by ``id`` into ``graph.num_partitions``, so the
+    state inherits the co-partitioning the vertex-phase join relies on.
     """
-    base = graph.degrees()  # (id, outdeg) — cached
+    base = graph.degrees() if with_outdeg else graph.vertices
     if vertex_attrs is not None:
         base = base.join(F.broadcast(vertex_attrs), "id", "left")
-    cols = [F.col("id"), F.col("outdeg")]
+    cols = [F.col("id")] + ([F.col("outdeg")] if with_outdeg else [])
     cols += [expr.alias(name) for name, expr in program.init.items()]
     return base.select(*cols)
+
+
+def _build_superstep(
+    edges: DataFrame,
+    state: DataFrame,
+    program: PregelProgram,
+    state_cols: list[str],
+    frontier_size: int,
+    broadcast_threshold: int,
+    with_outdeg: bool,
+) -> DataFrame:
+    """One superstep's edge phase + vertex phase as a lazy DataFrame.
+
+    Extracted from the loop so benchmarks/plan audits can explain the
+    exact per-superstep plan the loop executes.
+
+    Join-strategy policy (measured, see BENCH.md): the active-state
+    side is broadcast while small (dense-frontier fast path); above
+    the threshold it is SHUFFLE_HASH — built per-partition in
+    parallel against the cached src-partitioned edge table, which
+    then needs neither an exchange nor a sort. A driver-side
+    broadcast build of multi-million-row state is serial and caps
+    scaling (Amdahl) — never let Catalyst pick it implicitly here.
+    """
+    # ---- edge phase: gather + reduce --------------------------------
+    if program.full_frontier:
+        act = state
+    else:
+        act = state.filter(F.col("_active"))
+    act_hinted = (
+        F.broadcast(act)
+        if frontier_size <= broadcast_threshold
+        else act.hint("shuffle_hash")
+    )
+    j = act_hinted.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
+    msgs = j.select(F.col("e.dst").alias("id"), program.gather.alias("g"))
+    if program.agg_df is not None:
+        acc = program.agg_df(msgs)
+    else:
+        acc = msgs.groupBy("id").agg(program.agg(F.col("g")).alias("accum"))
+
+    # ---- vertex phase: conditional update ---------------------------
+    # acc is at most V rows; shuffle-hash build on it avoids sorting
+    # both sides every superstep.
+    joined = state.join(acc.hint("shuffle_hash"), "id", "left")
+    accum = F.col("accum")
+    if program.accum_default is not None:
+        accum = F.coalesce(accum, F.lit(program.accum_default))
+    joined = joined.withColumn("accum", accum)
+
+    cond = program.cond
+    if cond is None:
+        cond = F.lit(True)
+    if program.accum_default is None:
+        cond = cond & F.col("accum").isNotNull()
+    joined = joined.withColumn("_upd", cond)
+
+    new_cols = [F.col("id")] + ([F.col("outdeg")] if with_outdeg else [])
+    for name in state_cols:
+        if name == "_active":
+            # next frontier = rows the cond admitted this superstep
+            new_cols.append(F.col("_upd").alias("_active"))
+            continue
+        expr = program.update.get(name)
+        if expr is None:
+            new_cols.append(F.col(name))
+        else:
+            new_cols.append(
+                F.when(F.col("_upd"), expr).otherwise(F.col(name)).alias(name)
+            )
+    return joined.select(*new_cols)
 
 
 def pregel(
@@ -350,6 +453,7 @@ def _pregel_impl(
             spark, prefix=f"olive-superstep-r{run_token}-"
         )
     state_cols = list(program.init.keys())
+    with_outdeg = _uses_outdeg(program)
     frontier_driven = not program.full_frontier
     # The frontier lives IN the state as the `_active` boolean column
     # (seeded by an `_active` init expression, else all-active). Keeping
@@ -385,13 +489,19 @@ def _pregel_impl(
             resumed = True
 
     if not resumed:
-        state = _init_state(graph, program, vertex_attrs)
+        state = _init_state(graph, program, vertex_attrs, with_outdeg=with_outdeg)
         if frontier_driven and "_active" not in program.init:
             state = state.withColumn("_active", F.lit(True))
         # lazy localCheckpoint: the first action on it materializes the
         # snapshot — so the seed-frontier count below doubles as the
-        # materialization job (one job, not two).
-        state = _local_ckpt(state.repartition(graph.num_partitions, "id"))
+        # materialization job (one job, not two). No repartition here:
+        # the init base (cached degrees or vertex table) is already
+        # hash(id, num_partitions)-partitioned, narrow projections and
+        # the broadcast attr join preserve that, and localCheckpoint
+        # records it — the explicit repartition was a redundant V-row
+        # exchange per pregel call (guide §2.4: remove shuffles the
+        # data's existing partitioning already provides).
+        state = _local_ckpt(state)
         if frontier_driven:
             n = state.agg(F.sum(F.col("_active").cast("long")).alias("n")).first()["n"]
             frontier_size = int(n or 0)
@@ -412,60 +522,16 @@ def _pregel_impl(
             # + the barrier action) carries this superstep's group tag
             shuffle_collector.tag(superstep + 1)
 
-        # ---- edge phase: gather + reduce --------------------------------
-        # Join-strategy policy (measured, see BENCH.md): the active-state
-        # side is broadcast while small (dense-frontier fast path); above
-        # the threshold it is SHUFFLE_HASH — built per-partition in
-        # parallel against the cached src-partitioned edge table, which
-        # then needs neither an exchange nor a sort. A driver-side
-        # broadcast build of multi-million-row state is serial and caps
-        # scaling (Amdahl) — never let Catalyst pick it implicitly here.
-        if program.full_frontier:
-            act = state
-        else:
-            act = state.filter(F.col("_active"))
-        act_hinted = (
-            F.broadcast(act)
-            if frontier_size <= broadcast_threshold
-            else act.hint("shuffle_hash")
+        # ---- edge phase + vertex phase (see _build_superstep) -----------
+        new_state = _build_superstep(
+            edges,
+            state,
+            program,
+            state_cols,
+            frontier_size,
+            broadcast_threshold,
+            with_outdeg,
         )
-        j = act_hinted.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
-        msgs = j.select(F.col("e.dst").alias("id"), program.gather.alias("g"))
-        if program.agg_df is not None:
-            acc = program.agg_df(msgs)
-        else:
-            acc = msgs.groupBy("id").agg(program.agg(F.col("g")).alias("accum"))
-
-        # ---- vertex phase: conditional update ---------------------------
-        # acc is at most V rows; shuffle-hash build on it avoids sorting
-        # both sides every superstep.
-        joined = state.join(acc.hint("shuffle_hash"), "id", "left")
-        accum = F.col("accum")
-        if program.accum_default is not None:
-            accum = F.coalesce(accum, F.lit(program.accum_default))
-        joined = joined.withColumn("accum", accum)
-
-        cond = program.cond
-        if cond is None:
-            cond = F.lit(True)
-        if program.accum_default is None:
-            cond = cond & F.col("accum").isNotNull()
-        joined = joined.withColumn("_upd", cond)
-
-        new_cols = [F.col("id"), F.col("outdeg")]
-        for name in state_cols:
-            if name == "_active":
-                # next frontier = rows the cond admitted this superstep
-                new_cols.append(F.col("_upd").alias("_active"))
-                continue
-            expr = program.update.get(name)
-            if expr is None:
-                new_cols.append(F.col(name))
-            else:
-                new_cols.append(
-                    F.when(F.col("_upd"), expr).otherwise(F.col(name)).alias(name)
-                )
-        new_state = joined.select(*new_cols)
 
         # ---- materialize + truncate lineage -----------------------------
         durable = (
