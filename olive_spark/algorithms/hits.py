@@ -53,7 +53,7 @@ def _normalize(scored: DataFrame, raw_col: str, out_col: str) -> DataFrame:
 
 
 def hits(
-    graph: Graph, iterations: int = 3, broadcast_threshold: int = 1_000_000
+    graph: Graph, iterations: int = 3, broadcast_threshold: int = 100_000
 ) -> DataFrame:
     """Run exactly ``iterations`` synchronous HITS rounds.
 
@@ -81,26 +81,37 @@ def _hits_impl(graph: Graph, iterations: int, broadcast_threshold: int) -> DataF
     # throw away)
     verts = graph.vertices
 
+    # Round-6 optimization (guide §1.2/§2.3): the iteration runs on the
+    # RESTRICTED score tables — auth over vertices with in-edges, hub
+    # over vertices with out-edges — instead of verts-complete tables.
+    # Zero-score vertices contribute exactly 0.0 to every downstream sum
+    # and to the L2 norm, and adding/removing exact +0.0 terms never
+    # changes an IEEE-754 sum of non-negative values, so the scores are
+    # BIT-IDENTICAL to the verts-complete iteration (hash-checked by the
+    # hits_k3 oracle). This removes the two verts left-joins and two of
+    # the four V-row snapshots per round; full vertex coverage (score
+    # 0.0) is restored by two left joins ONCE at the end.
     state = verts.select("id", F.lit(1.0).alias("hub"))
     state = state.repartition(graph.num_partitions, "id").localCheckpoint(
         eager=False
     )
     auth = None
-    to_free: list[DataFrame] = []
 
-    # Same explicit join-strategy policy as pregel (pregel.py:310-332):
-    # broadcast the V-row state side while small, SHUFFLE_HASH above the
-    # threshold — never let Catalyst implicitly driver-broadcast a
-    # multi-million-row LogicalRDD. Either way the cached edge layout
-    # (forward: by src; reversed: by its src = original dst) is probed
-    # in place with zero per-round exchange of the E-sized side.
+    # Same explicit join-strategy policy as pregel: broadcast the
+    # score side while small, SHUFFLE_HASH above the threshold — never
+    # let Catalyst implicitly driver-broadcast a multi-million-row
+    # LogicalRDD. Either way the cached edge layout (forward: by src;
+    # reversed: by its src = original dst) is probed in place with zero
+    # per-round exchange of the E-sized side.
     small_state = graph.vertex_count() <= broadcast_threshold
 
     def _hinted(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_state else df.hint("shuffle_hash")
 
+    # snapshots backing the CURRENT round's lazy score projections;
+    # freed after the next round's barrier has superseded them
+    live_snapshots: list[DataFrame] = [state]
     for _ in range(iterations):
-        prev_auth = auth
         # ---- authority half-round: messages along forward edges -------
         a_msg = (
             _hinted(state).alias("s")
@@ -108,13 +119,13 @@ def _hits_impl(graph: Graph, iterations: int, broadcast_threshold: int) -> DataF
             .select(F.col("e.dst").alias("id"), F.col("s.hub").alias("g"))
             .groupBy("id")
             .agg(F.sum("g").alias("a_raw"))
-        )
-        a_raw = (
-            verts.join(a_msg.hint("shuffle_hash"), "id", "left")
-            .select("id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
             .localCheckpoint(eager=False)
         )
-        auth = _normalize(a_raw, "a_raw", "auth").localCheckpoint(eager=False)
+        # auth stays a lazy projection over the a_msg snapshot (its one
+        # consumer per round is the hub half below; the norm aggregate
+        # is one V-row scan of the snapshot — cheaper than a second
+        # snapshot write)
+        auth = _normalize(a_msg, "a_raw", "auth")
 
         # ---- hub half-round: messages along REVERSE edges --------------
         # The cached reversed layout is partitioned+sorted by r.src
@@ -126,25 +137,27 @@ def _hits_impl(graph: Graph, iterations: int, broadcast_threshold: int) -> DataF
             .select(F.col("r.dst").alias("id"), F.col("a.auth").alias("g"))
             .groupBy("id")
             .agg(F.sum("g").alias("h_raw"))
-        )
-        h_raw = (
-            verts.join(h_msg.hint("shuffle_hash"), "id", "left")
-            .select("id", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"))
             .localCheckpoint(eager=False)
         )
-        new_state = _normalize(h_raw, "h_raw", "hub").localCheckpoint(eager=False)
+        state = _normalize(h_msg, "h_raw", "hub")
 
-        # one barrier action per round: materializes the whole round's
-        # checkpoint chain (a_raw -> auth -> h_raw -> new_state), then the
+        # one barrier action per round: materializes both half-round
+        # snapshots (h_msg depends on auth -> a_msg), then the
         # superseded snapshots are dropped.
-        new_state.count()
-        to_free += [state, a_raw, h_raw]
-        if prev_auth is not None:
-            to_free.append(prev_auth)
-        for df in to_free:
+        h_msg.count()
+        for df in live_snapshots:
             _free_checkpoint(df)
-        to_free = []
-        state = new_state
+        live_snapshots = [a_msg, h_msg]
 
-    out = state.join(auth, "id").select("id", "hub", "auth")
+    # full vertex coverage (0.0 for vertices with no in-/out-edges),
+    # restored once instead of per half-round
+    out = (
+        verts.join(auth.hint("shuffle_hash"), "id", "left")
+        .join(state.hint("shuffle_hash"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
     return out

@@ -32,7 +32,12 @@ Scale design:
 - Small frontiers are broadcast (explicit ``F.broadcast`` hint) below
   ``broadcast_threshold`` rows — the dense-frontier fast path
   (vertexSubset.h:87-95) and the north-rule "broadcast of hub
-  frontiers".
+  frontiers". Above the threshold the state probes the cached
+  src-partitioned edge table via a co-partitioned SHUFFLE_HASH join
+  (zero exchange on either side). Threshold default 100k (r6 A/B:
+  at 500k full-frontier rows the per-superstep driver broadcast
+  build costs ~25% of the superstep; at <=16k the two are at parity
+  with a slight broadcast edge for sparse frontiers).
 - Lineage is truncated every superstep via ``localCheckpoint`` (or a
   durable parquet checkpoint through ``CheckpointStore``), otherwise
   the logical plan grows per iteration and Catalyst analysis time
@@ -391,7 +396,7 @@ def pregel(
     max_iterations: int = 100,
     checkpoint_store=None,
     checkpoint_every: int = 1,
-    broadcast_threshold: int = 1_000_000,
+    broadcast_threshold: int = 100_000,
     collect_partition_metrics: bool = False,
     collect_shuffle_metrics: bool = True,
     resume: bool = False,

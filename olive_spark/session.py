@@ -64,17 +64,10 @@ def get_spark(
         # Iterative workloads: keep shuffle files bounded.
         .config("spark.shuffle.spill.compress", "true")
         .config("spark.checkpoint.compress", "true")
-        # Fork Python workers from a daemon that has pandas/pyarrow/
-        # numpy preloaded (COW-inherited): removes the N-concurrent
-        # cold-import storm from the first Arrow-UDF stage (guide §4.5
-        # — heavyweight init once, amortized; here once per HOST).
-        # OLIVE_SPARK_PLAIN_DAEMON=1 restores the stock daemon.
-        .config(
-            "spark.python.daemon.module",
-            "pyspark.daemon"
-            if os.environ.get("OLIVE_SPARK_PLAIN_DAEMON")
-            else "olive_spark.pydaemon",
-        )
+        # NOTE (r6): a custom spark.python.daemon.module preloading
+        # pandas/pyarrow before the fork was A/B'd for the Arrow ingest
+        # cold start and REJECTED — no measurable win over 3 fresh-JVM
+        # pairs (OPTIMIZATION_r06.md "rejected").
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
