@@ -23,8 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from olive_spark.ingest.extract import extract_text_bytes
-
 N_HOSTS = 97  # pages spread over this many hosts (prime)
 EPOCH = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
 
@@ -89,22 +87,35 @@ def synth_pages(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, tss, htmls, texts = [], [], [], []
+            urls, tss, htmls = [], [], []
             for pid, targets in zip(pdf["page_id"], pdf["targets"]):
                 pid = int(pid)
                 html = html_of(pid, [int(t) for t in targets])
                 urls.append(url_of(pid))
                 tss.append(EPOCH + _dt.timedelta(seconds=pid))
                 htmls.append(html)
-                texts.append(extract_text_bytes(html))
             yield pd.DataFrame(
                 {
                     "url": urls,
                     "warc_ts": tss,
                     "html": htmls,
-                    "text": texts,
                     "lang": ["en"] * len(urls),
                 }
             )
 
-    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+    raw_schema = T.StructType([f for f in PAGES_SCHEMA if f.name != "text"])
+    # ``text`` is attached OUTSIDE the opaque generator as an Arrow-UDF
+    # projection of html — the SAME pure function (byte-identical
+    # values), but visible to Catalyst: consumers that never read
+    # ``text`` (the link-ingest path reads only url+html) get the whole
+    # extraction pruned away instead of paying for it inside
+    # mapInPandas, which defeats column pruning (guide §4.1/§4.2).
+    from olive_spark.ingest.extract import _extract_text_udf
+
+    return base.mapInPandas(gen, schema=raw_schema).select(
+        "url",
+        "warc_ts",
+        "html",
+        _extract_text_udf(F.col("html")).alias("text"),
+        "lang",
+    )

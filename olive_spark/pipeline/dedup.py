@@ -10,9 +10,11 @@ Scale design notes
   buckets only. The band self-join is the only shuffle that grows with
   near-dup density; exact Jaccard verification runs only on candidate
   pairs.
-- SimHash: 64-bit sign-sum sketch over shingle hashes via explode +
-  groupBy(doc) bit aggregation — Hamming-близкие docs share most bits;
-  banding on 4×16-bit chunks gives candidates.
+- SimHash: 60-bit sign-sum sketch over shingle hashes via explode +
+  groupBy(doc) bit aggregation — Hamming-close docs share most bits.
+  This module ships the SIGNATURES only (engine-independent md5
+  construction, oracle-checkable); candidate-pair generation over the
+  sketches is not implemented — use MinHash+LSH for the pair step.
 - n-gram Jaccard: exact verification primitive (and a standalone
   brute-force dedup for small corpora / tests).
 
