@@ -142,10 +142,11 @@ def connected_components_stars(
 
     from olive_spark.pregel import _free_checkpoint, stable_partitioning
 
-    # iterative co-partitioned joins: keep partition counts stable (see
-    # stable_partitioning — AQE coalescing would force per-round
-    # re-exchanges at reduced parallelism)
-    with stable_partitioning(spark):
+    # iterative co-partitioned joins: keep partition counts stable and
+    # let the per-round eager localCheckpoints record their hash(u, P)
+    # partitioning (see stable_partitioning — under AQE the snapshots
+    # report unknown partitioning and every round re-exchanges)
+    with stable_partitioning(spark, disable_aqe=True):
         prev_sum = checksum(edges)
         for rnd in range(max_rounds):
             t0 = _time.monotonic()

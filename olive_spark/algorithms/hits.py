@@ -64,7 +64,7 @@ def hits(
     """
     if iterations < 1:
         raise ValueError(f"hits requires iterations >= 1, got {iterations}")
-    with stable_partitioning(graph.edges.sparkSession):
+    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True):
         return _hits_impl(graph, iterations, broadcast_threshold)
 
 

@@ -66,7 +66,7 @@ def kcore(graph: Graph, k: int, max_rounds: int = 100) -> KCoreResult:
         # 0-core = every vertex (including isolated ones)
         state = graph.vertices.select("id", F.lit(True).alias("in_core"))
         return KCoreResult(state=state, rounds=0, converged=True)
-    with stable_partitioning(graph.edges.sparkSession):
+    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True):
         return _kcore_impl(graph, k, max_rounds)
 
 

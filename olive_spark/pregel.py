@@ -63,8 +63,9 @@ from olive_spark.graph import Graph
 
 
 @contextmanager
-def stable_partitioning(spark):
-    """Disable AQE partition coalescing for an iterative section.
+def stable_partitioning(spark, disable_aqe: bool = False):
+    """Disable AQE partition coalescing — or AQE outright — for an
+    iterative section.
 
     AQE's post-shuffle coalescing is right for one-shot queries but
     wrong inside a superstep loop: coalescing the message aggregation's
@@ -72,20 +73,41 @@ def stable_partitioning(spark):
     state and the accumulator, forcing an extra low-parallelism
     exchange of the state every superstep. Measured on the 64M-edge
     scaling workload: local[8] throughput +17% with coalescing off, and
-    the 2->8-core speedup rises 2.18x -> 2.83x (BENCH.md). Skew-join
-    splitting and the rest of AQE stay on.
+    the 2->8-core speedup rises 2.18x -> 2.83x (BENCH.md).
+
+    disable_aqe=True (round-6) turns AQE off entirely for the section.
+    Rationale, measured in plans: a localCheckpoint taken while the
+    query compiles under AQE records UNKNOWN output partitioning on its
+    LogicalRDD (the physical root is an AdaptiveSparkPlan), so every
+    superstep re-exchanged the V-row state side of the vertex-phase
+    join; with AQE off at snapshot-planning time the hash(id, P)
+    partitioning is preserved and the exchange disappears
+    (plans/r06/*_superstep_after.txt). Inside the loop AQE had nothing
+    left to offer anyway — both joins carry explicit broadcast /
+    SHUFFLE_HASH hints, skew-join splitting cannot act on joins whose
+    big side is a cached (never exchanged) scan, AQE does not split
+    skewed aggregations, and its stage-by-stage re-planning adds
+    per-superstep scheduling latency. One-shot queries (triangles,
+    ingest) keep AQE on.
     """
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(key, "false")
+    keys = (
+        ["spark.sql.adaptive.enabled"]
+        if disable_aqe
+        else ["spark.sql.adaptive.coalescePartitions.enabled"]
+    )
+    prev: dict[str, str | None] = {}
+    for key in keys:
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
+        spark.conf.set(key, "false")
     try:
         yield
     finally:
-        if prev is not None:
-            spark.conf.set(key, prev)
+        for key, v in prev.items():
+            if v is not None:
+                spark.conf.set(key, v)
 
 
 def src(name: str) -> Column:
@@ -416,7 +438,7 @@ def pregel(
     vertex_attrs: optional static per-vertex attribute DataFrame
     broadcast-joined into the init base (see _init_state).
     """
-    with stable_partitioning(graph.edges.sparkSession):
+    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True):
         return _pregel_impl(
             graph,
             program,

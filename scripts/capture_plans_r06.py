@@ -164,26 +164,47 @@ def _triangles_df(graph):
 
 def _hits_round_df(graph):
     import importlib
+    import inspect
 
     H = importlib.import_module("olive_spark.algorithms.hits")
 
     edges = graph.edges
     rev = graph.reversed_edges()
-    src = "import-detect"
-    try:
-        # optimized tree uses the vertex table; old tree used degrees
-        import inspect
-
-        src = inspect.getsource(H._hits_impl)
-    except Exception:
-        pass
-    verts = graph.vertices if "graph.vertices" in src else graph.degrees().select("id")
-    state = verts.select("id", F.lit(1.0).alias("hub"))
-    state = state.repartition(graph.num_partitions, "id").localCheckpoint(eager=False)
-    state.count()
+    src = inspect.getsource(H._hits_impl)
 
     def _hinted(df):
         return F.broadcast(df)
+
+    if "live_snapshots" in src:  # optimized tree: restricted score tables
+        verts = graph.vertices
+        state = verts.select("id", F.lit(1.0).alias("hub"))
+        state = state.repartition(graph.num_partitions, "id").localCheckpoint(
+            eager=False
+        )
+        state.count()
+        a_msg = (
+            _hinted(state).alias("s")
+            .join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
+            .select(F.col("e.dst").alias("id"), F.col("s.hub").alias("g"))
+            .groupBy("id")
+            .agg(F.sum("g").alias("a_raw"))
+            .localCheckpoint(eager=False)
+        )
+        auth = H._normalize(a_msg, "a_raw", "auth")
+        h_msg = (
+            _hinted(auth).alias("a")
+            .join(rev.alias("r"), F.col("a.id") == F.col("r.src"))
+            .select(F.col("r.dst").alias("id"), F.col("a.auth").alias("g"))
+            .groupBy("id")
+            .agg(F.sum("g").alias("h_raw"))
+        )
+        return H._normalize(h_msg, "h_raw", "hub")
+
+    # round-start tree: verts-complete round
+    verts = graph.degrees().select("id")
+    state = verts.select("id", F.lit(1.0).alias("hub"))
+    state = state.repartition(graph.num_partitions, "id").localCheckpoint(eager=False)
+    state.count()
 
     a_msg = (
         _hinted(state).alias("s")
@@ -216,9 +237,22 @@ def main():
     )
     os.makedirs(out_dir, exist_ok=True)
 
+    import inspect
+    from contextlib import contextmanager
+
     from olive_spark.session import get_spark
     from olive_spark.ingest.resolve import testdata_graph, testdata_tri_graph
     from olive_spark.pregel import stable_partitioning
+
+    # the r6 loops run with AQE fully off (stable_partitioning grew a
+    # disable_aqe flag); capture the superstep plans under the same
+    # mode the loop uses on this tree
+    if "disable_aqe" in inspect.signature(stable_partitioning).parameters:
+        def loop_ctx(spark):
+            return stable_partitioning(spark, disable_aqe=True)
+    else:
+        def loop_ctx(spark):
+            return stable_partitioning(spark)
 
     spark = get_spark(app_name=f"capture_plans_r06_{tag}", master="local[8]",
                       shuffle_partitions=8)
@@ -251,7 +285,7 @@ def main():
         accum_default=0.0,
         full_frontier=True,
     )
-    with stable_partitioning(spark):
+    with loop_ctx(spark):
         df = _superstep_df(g_pow, pr_prog)
         _write(out_dir, "pagerank_superstep", tag, _explain_str(df),
                "steady-state PageRank superstep (power graph shape; "
@@ -268,7 +302,7 @@ def main():
         full_frontier=False,
     )
     g_sym = g_tri.symmetrized()
-    with stable_partitioning(spark):
+    with loop_ctx(spark):
         df = _superstep_df(g_sym, cc_prog)
         _write(out_dir, "cc_superstep", tag, _explain_str(df),
                "steady-state CC superstep over the symmetrized closure")
@@ -288,7 +322,7 @@ def main():
         accum_default=None,
         full_frontier=False,
     )
-    with stable_partitioning(spark):
+    with loop_ctx(spark):
         df = _superstep_df(g_tri, bfs_prog)
         _write(out_dir, "bfs_superstep", tag, _explain_str(df),
                "steady-state BFS superstep (frontier-driven)")
@@ -306,7 +340,7 @@ def main():
         accum_default=None,
         full_frontier=True,
     )
-    with stable_partitioning(spark):
+    with loop_ctx(spark):
         df = _superstep_df(g_sym, lp_prog)
         _write(out_dir, "labelprop_superstep", tag, _explain_str(df),
                "steady-state label-propagation superstep (mode agg)")
@@ -318,7 +352,7 @@ def main():
                "triangle per-vertex counts (full plan before the single action)")
 
     # --- hits round ---------------------------------------------------------
-    with stable_partitioning(spark):
+    with loop_ctx(spark):
         df = _hits_round_df(g_bi)
         _write(out_dir, "hits_round", tag, _explain_str(df),
                "one full HITS round (auth half + hub half + normalize)")
