@@ -75,4 +75,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # NOTE (r6): an async python-runtime warmup job at session creation
+    # (daemon/worker pool pre-spawn) was A/B'd for the ingest cold
+    # start and REJECTED — no win over four fresh-JVM pairs; a trivial
+    # 32-task pandas_udf stage costs only ~0.1s even cold, so the
+    # ingest cold term is codegen/data-path, not worker spawn
+    # (OPTIMIZATION_r06.md "rejected").
     return spark
