@@ -97,16 +97,17 @@ def _hits_impl(graph: Graph, iterations: int, broadcast_threshold: int) -> DataF
     )
     auth = None
 
-    # Same explicit join-strategy policy as pregel: broadcast the
-    # score side while small, SHUFFLE_HASH above the threshold — never
-    # let Catalyst implicitly driver-broadcast a multi-million-row
-    # LogicalRDD. Either way the cached edge layout (forward: by src;
-    # reversed: by its src = original dst) is probed in place with zero
-    # per-round exchange of the E-sized side.
-    small_state = graph.vertex_count() <= broadcast_threshold
-
+    # Same explicit join-strategy policy as pregel's full-frontier
+    # path (r6 A/B): the dense score tables ALWAYS take the
+    # co-partitioned SHUFFLE_HASH probe of the cached edge layouts
+    # (forward: by src; reversed: by its src = original dst) — zero
+    # per-round exchange of the E-sized side, no serial driver
+    # broadcast build per half-round (shuffle-hash won every clean A/B
+    # pair at 16k-row score tables, ~10%; the gap only widens with V).
+    # ``broadcast_threshold`` is retained for API stability; the score
+    # side is never driver-broadcast anymore.
     def _hinted(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small_state else df.hint("shuffle_hash")
+        return df.hint("shuffle_hash")
 
     # snapshots backing the CURRENT round's lazy score projections;
     # freed after the next round's barrier has superseded them

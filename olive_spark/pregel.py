@@ -364,15 +364,23 @@ def _build_superstep(
     scaling (Amdahl) — never let Catalyst pick it implicitly here.
     """
     # ---- edge phase: gather + reduce --------------------------------
+    # Full-frontier programs ALWAYS take the co-partitioned
+    # shuffled-hash probe: the state snapshot carries hash(id, P)
+    # (AQE-off loops, r6) and the edge cache hash(src, P), so the join
+    # needs zero exchange on either side, while a driver broadcast
+    # build is serial per superstep (r6 A/B: shuffle-hash wins at 500k
+    # rows by ~25% AND at 16k rows by ~10%). Frontier-driven programs
+    # keep the broadcast fast path for small frontiers (measured
+    # parity-to-slight-edge for sparse BFS frontiers).
     if program.full_frontier:
-        act = state
+        act_hinted = state.hint("shuffle_hash")
     else:
         act = state.filter(F.col("_active"))
-    act_hinted = (
-        F.broadcast(act)
-        if frontier_size <= broadcast_threshold
-        else act.hint("shuffle_hash")
-    )
+        act_hinted = (
+            F.broadcast(act)
+            if frontier_size <= broadcast_threshold
+            else act.hint("shuffle_hash")
+        )
     j = act_hinted.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
     msgs = j.select(F.col("e.dst").alias("id"), program.gather.alias("g"))
     if program.agg_df is not None:
