@@ -206,14 +206,22 @@ def weighted_pagerank(
     superstep gather is `rank * weight` — same plan shape and cost as
     unweighted PageRank.
     """
-    spark = graph.edges.sparkSession
     wdeg = graph.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     norm_edges = (
         graph.edges.join(wdeg, "src")
         .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("weight"))
+        # the parent edge cache is already hash(src, P): the wdeg join
+        # is co-partitioned and its output keeps that partitioning, so
+        # cache the normalized layout directly — no repartition, and no
+        # re-partition/re-cache of the shared vertex table (r6; the old
+        # path went through Graph.from_edges and paid both)
+        .cache()
     )
-    g = Graph.from_edges(
-        spark, norm_edges, vertices=graph.vertices, num_partitions=graph.num_partitions
+    g = Graph(
+        vertices=graph.vertices,
+        edges=norm_edges,
+        num_partitions=graph.num_partitions,
+        _vertex_count=graph._vertex_count,
     )
     n = g.vertex_count()
     one_over_n = 1.0 / n
@@ -246,5 +254,7 @@ def weighted_pagerank(
         ),
     )
     res = pregel(g, program, max_iterations=max_iterations, **kwargs)
-    g.unpersist()
+    # release only the normalized edge layout — the vertex table is the
+    # parent graph's shared cache
+    norm_edges.unpersist()
     return res
