@@ -380,10 +380,14 @@ class Graph:
             rev = self.edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
+            # no sortWithinPartitions: the loops only ever probe this
+            # layout through hinted shuffled-hash joins (never
+            # sort-merge), so the one-time 2E-row sort bought nothing
+            # (r6 A/B: unsorted at parity-to-slightly-faster, and the
+            # build itself is cheaper — a real term at 100TB)
             sym = (
                 self.edges.unionByName(rev)
                 .repartition(self.num_partitions, "src")
-                .sortWithinPartitions("src")
                 .cache()
             )
             self._symmetrized = Graph(
