@@ -41,9 +41,13 @@ def _build_zip(dest: str) -> str:
     pkg = os.path.join(REPO, "olive_spark")
     path = os.path.join(dest, "olive_spark.zip")
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg):
+        for root, dirs, files in os.walk(pkg):
+            # mirror `zip -qr olive_spark` exactly: every file ships,
+            # not just *.py (ADVICE r5: a py-only zip would silently
+            # diverge if the package gains py.typed/SQL/data resources)
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
             for f in files:
-                if not f.endswith(".py"):
+                if f.endswith(".pyc"):
                     continue
                 full = os.path.join(root, f)
                 zf.write(full, os.path.relpath(full, REPO))
@@ -70,7 +74,10 @@ def test_spark_submit_pagerank_end_to_end(spark, tmp_path):
         if k not in ("PYTHONPATH", "SPARK_HOME")
     }
     # keep the child JVM small and isolated from the test session
-    env["SPARK_SUBMIT_OPTS"] = "-Dderby.system.home=" + workdir
+    # (APPEND: don't drop JVM options the environment requires)
+    env["SPARK_SUBMIT_OPTS"] = (
+        os.environ.get("SPARK_SUBMIT_OPTS", "") + " -Dderby.system.home=" + workdir
+    ).strip()
 
     proc = subprocess.run(
         [
@@ -100,4 +107,4 @@ def test_spark_submit_pagerank_end_to_end(spark, tmp_path):
     rows = {r["id"]: r["rank"] for r in spark.read.parquet(out_dir).collect()}
     exp = oracle.pagerank_fixed(n, edges, iterations=5)
     got = np.array([rows[i] for i in range(n)])
-    assert np.allclose(got, exp, atol=1e-9)
+    assert np.allclose(got, exp, rtol=0, atol=1e-9)
