@@ -42,7 +42,12 @@ def connected_components(
         full_frontier=False,
     )
     # NOTE: the symmetrized closure is memoized on `graph` (shared with
-    # label propagation etc.); graph.unpersist() releases it.
+    # label propagation etc.); graph.unpersist() releases it. A
+    # two-probe alternative (forward cache + reversed layout, messages
+    # unioned — message-multiset-identical, half the one-time layout
+    # exchange) was A/B'd in r6 and REJECTED: the doubled probe stages
+    # cost ~+0.4s/superstep at bench scale, far exceeding the one-time
+    # saving (OPTIMIZATION_r06.md "rejected").
     return pregel(g, program, max_iterations=max_iterations,
                   checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
                   resume=resume)

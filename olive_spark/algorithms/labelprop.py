@@ -57,7 +57,8 @@ def label_propagation(
         full_frontier=True,
     )
     # the symmetrized closure is memoized on `graph` (shared with CC
-    # etc.); graph.unpersist() releases it
+    # etc.); graph.unpersist() releases it (two-probe alternative
+    # rejected in r6 — see cc.py / OPTIMIZATION_r06.md)
     return pregel(g, program, max_iterations=iterations,
                   checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
                   resume=resume)

@@ -331,6 +331,13 @@ class Graph:
         identical join shape: state.id == rev.src, message to rev.dst.
         """
         if self._reversed is None:
+            # no sortWithinPartitions (r6): every consumer (hits, the
+            # two-probe undirected pregel) probes this layout through
+            # hinted broadcast/shuffled-hash joins — the one-time E-row
+            # sort only ever served a sort-merge fallback none of the
+            # audited plans take (same finding as the symmetrized
+            # closure's sort removal; plans/r06/hits_round_after.txt
+            # has zero SortMergeJoin)
             self._reversed = (
                 self.edges.select(
                     F.col("dst").alias("src"),
@@ -338,7 +345,6 @@ class Graph:
                     "weight",
                 )
                 .repartition(self.num_partitions, "src")
-                .sortWithinPartitions("src")
                 .cache()
             )
             # Materialize NOW: until the cache is built, AQE reports the

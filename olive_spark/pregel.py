@@ -187,6 +187,54 @@ class PregelProgram:
     agg_df: Callable[[DataFrame], DataFrame] | None = None
 
 
+class _LazyMetricsList(list):
+    """Per-superstep metrics whose shuffle/comp fields are filled from
+    the AppStatusStore on FIRST READ instead of inside the loop.
+
+    Rationale (r6, measured): each in-loop ``collect()`` costs ~40-80ms
+    of driver-side py4j round trips (~8 accessor calls per stage across
+    the superstep's jobs), i.e. ~0.6s of a 10-superstep PageRank whose
+    whole gated median is ~4s — pure critical-path overhead for fields
+    most callers (the bench, entry queries) never read. The job-group
+    tags are still applied per superstep during the loop (a free
+    driver-local property), so the deferred store read returns the
+    exact same numbers; only WHEN they are read moves. ``superstep`` /
+    ``ms`` / ``active`` stay eagerly recorded in the loop.
+
+    Caveat (documented best-effort contract of metrics.py): the
+    AppStatusStore retains a bounded number of jobs/stages (Spark
+    defaults: 1000 each); reading ``.metrics`` only after thousands of
+    further jobs may find evicted stages and degrade to absent fields —
+    same degradation mode the inline path already had for listener-bus
+    races. The durable-checkpoint path still collects inline because
+    ``CheckpointStore.log_superstep`` persists the fields per superstep.
+    """
+
+    def __init__(self, steps, collector):
+        super().__init__(steps)
+        self._collector = collector
+
+    def _fill(self):
+        c = self._collector
+        if c is None:
+            return
+        self._collector = None
+        for m in list.__iter__(self):
+            m.update(c.collect(m["superstep"]))
+
+    def __iter__(self):
+        self._fill()
+        return list.__iter__(self)
+
+    def __getitem__(self, i):
+        self._fill()
+        return list.__getitem__(self, i)
+
+    def __len__(self):
+        self._fill()
+        return list.__len__(self)
+
+
 @dataclass
 class PregelResult:
     state: DataFrame  # (id, *state_cols)
@@ -341,6 +389,76 @@ def _init_state(
     return base.select(*cols)
 
 
+def _prepare_superstep_exprs(
+    program: PregelProgram,
+    state_cols: list[str],
+    with_outdeg: bool,
+) -> dict:
+    """Loop-invariant Column trees for ``_build_superstep``, built ONCE
+    per pregel invocation (r6).
+
+    Rationale (measured): constructing the superstep DataFrame costs
+    ~85ms of driver-side py4j round trips (~50 Column/DataFrame calls)
+    on a ~0.4s superstep — pure fixed overhead repeated every
+    superstep. Columns are immutable unresolved expression trees, so
+    building them once and reusing them across supersteps is safe (the
+    ``program.gather`` expression was already reused this way); only
+    the DataFrame operators (join/select/groupBy) must be re-applied
+    per superstep.
+
+    The vertex phase is also restructured from three projections
+    (withColumn accum → withColumn _upd → select) to two selects with
+    the update gate inlined — fewer py4j calls and fewer analysis
+    nodes; the optimizer collapsed the adjacent Projects anyway
+    (CollapseProject), so the executed plan is unchanged.
+    """
+    join_cond = F.col("s.id") == F.col("e.src")
+    msg_cols = [F.col("e.dst").alias("id"), program.gather.alias("g")]
+    agg_cols = (
+        None
+        if program.agg_df is not None
+        else [program.agg(F.col("g")).alias("accum")]
+    )
+
+    # post-join projection: old state + the (possibly defaulted) accum.
+    # The superseded `_active` is NOT carried: the new frontier flag is
+    # recomputed below, and programs cannot reference the internal
+    # `_active` column in their hooks.
+    accum = F.col("accum")
+    if program.accum_default is not None:
+        accum = F.coalesce(accum, F.lit(program.accum_default))
+    base = ["id"] + (["outdeg"] if with_outdeg else [])
+    carried = [c for c in state_cols if c != "_active"]
+    post_join_cols = [F.col(c) for c in base + carried] + [accum.alias("accum")]
+
+    cond = program.cond
+    if cond is None:
+        cond = F.lit(True)
+    if program.accum_default is None:
+        cond = cond & F.col("accum").isNotNull()
+
+    final_cols = [F.col("id")] + ([F.col("outdeg")] if with_outdeg else [])
+    for name in state_cols:
+        if name == "_active":
+            # next frontier = rows the cond admits this superstep
+            final_cols.append(cond.alias("_active"))
+            continue
+        expr = program.update.get(name)
+        if expr is None:
+            final_cols.append(F.col(name))
+        else:
+            final_cols.append(
+                F.when(cond, expr).otherwise(F.col(name)).alias(name)
+            )
+    return {
+        "join_cond": join_cond,
+        "msg_cols": msg_cols,
+        "agg_cols": agg_cols,
+        "post_join_cols": post_join_cols,
+        "final_cols": final_cols,
+    }
+
+
 def _build_superstep(
     edges: DataFrame,
     state: DataFrame,
@@ -349,11 +467,14 @@ def _build_superstep(
     frontier_size: int,
     broadcast_threshold: int,
     with_outdeg: bool,
+    exprs: dict | None = None,
 ) -> DataFrame:
     """One superstep's edge phase + vertex phase as a lazy DataFrame.
 
     Extracted from the loop so benchmarks/plan audits can explain the
-    exact per-superstep plan the loop executes.
+    exact per-superstep plan the loop executes. ``exprs`` is the
+    prebuilt loop-invariant Column set (see _prepare_superstep_exprs);
+    the loop passes it once-built, ad-hoc callers may omit it.
 
     Join-strategy policy (measured, see BENCH.md): the active-state
     side is broadcast while small (dense-frontier fast path); above
@@ -363,6 +484,8 @@ def _build_superstep(
     broadcast build of multi-million-row state is serial and caps
     scaling (Amdahl) — never let Catalyst pick it implicitly here.
     """
+    if exprs is None:
+        exprs = _prepare_superstep_exprs(program, state_cols, with_outdeg)
     # ---- edge phase: gather + reduce --------------------------------
     # Full-frontier programs ALWAYS take the co-partitioned
     # shuffled-hash probe: the state snapshot carries hash(id, P)
@@ -381,43 +504,18 @@ def _build_superstep(
             if frontier_size <= broadcast_threshold
             else act.hint("shuffle_hash")
         )
-    j = act_hinted.alias("s").join(edges.alias("e"), F.col("s.id") == F.col("e.src"))
-    msgs = j.select(F.col("e.dst").alias("id"), program.gather.alias("g"))
+    j = act_hinted.alias("s").join(edges.alias("e"), exprs["join_cond"])
+    msgs = j.select(*exprs["msg_cols"])
     if program.agg_df is not None:
         acc = program.agg_df(msgs)
     else:
-        acc = msgs.groupBy("id").agg(program.agg(F.col("g")).alias("accum"))
+        acc = msgs.groupBy("id").agg(*exprs["agg_cols"])
 
     # ---- vertex phase: conditional update ---------------------------
     # acc is at most V rows; shuffle-hash build on it avoids sorting
     # both sides every superstep.
     joined = state.join(acc.hint("shuffle_hash"), "id", "left")
-    accum = F.col("accum")
-    if program.accum_default is not None:
-        accum = F.coalesce(accum, F.lit(program.accum_default))
-    joined = joined.withColumn("accum", accum)
-
-    cond = program.cond
-    if cond is None:
-        cond = F.lit(True)
-    if program.accum_default is None:
-        cond = cond & F.col("accum").isNotNull()
-    joined = joined.withColumn("_upd", cond)
-
-    new_cols = [F.col("id")] + ([F.col("outdeg")] if with_outdeg else [])
-    for name in state_cols:
-        if name == "_active":
-            # next frontier = rows the cond admitted this superstep
-            new_cols.append(F.col("_upd").alias("_active"))
-            continue
-        expr = program.update.get(name)
-        if expr is None:
-            new_cols.append(F.col(name))
-        else:
-            new_cols.append(
-                F.when(F.col("_upd"), expr).otherwise(F.col(name)).alias(name)
-            )
-    return joined.select(*new_cols)
+    return joined.select(*exprs["post_join_cols"]).select(*exprs["final_cols"])
 
 
 def pregel(
@@ -550,6 +648,17 @@ def _pregel_impl(
     # states are lazy plans; only a materialized successor may free it)
     last_snapshot = state
 
+    # loop-invariant Column trees, built once (r6: the per-superstep
+    # py4j construction was ~85ms of a ~0.4s superstep)
+    superstep_exprs = _prepare_superstep_exprs(program, state_cols, with_outdeg)
+    barrier_aggs: list[Column] = []
+    if frontier_driven:
+        barrier_aggs.append(F.sum(F.col("_active").cast("long")).alias("_n_active"))
+    if program.halt_agg is not None:
+        barrier_aggs.append(program.halt_agg.alias("_halt"))
+    if not barrier_aggs:
+        barrier_aggs.append(F.count(F.lit(1)).alias("_n"))
+
     while superstep < max_iterations:
         t0 = time.monotonic()
         if shuffle_collector is not None:
@@ -566,6 +675,7 @@ def _pregel_impl(
             frontier_size,
             broadcast_threshold,
             with_outdeg,
+            superstep_exprs,
         )
 
         # ---- materialize + truncate lineage -----------------------------
@@ -596,14 +706,7 @@ def _pregel_impl(
         # evaluates the convergence aggregate — all in a single job. This
         # is the Spark analogue of the reference's superstep barrier +
         # D2H vertexReduce fold (oliver.h:176-183), fused.
-        aggs = []
-        if frontier_driven:
-            aggs.append(F.sum(F.col("_active").cast("long")).alias("_n_active"))
-        if program.halt_agg is not None:
-            aggs.append(program.halt_agg.alias("_halt"))
-        if not aggs:
-            aggs.append(F.count(F.lit(1)).alias("_n"))
-        row = new_state.agg(*aggs).first()
+        row = new_state.agg(*barrier_aggs).first()
 
         state = new_state
         superstep += 1
@@ -640,9 +743,12 @@ def _pregel_impl(
                     F.spark_partition_id().alias("partition_id")
                 ).agg(F.count("*").alias("rows")).collect()
             ]
-        if shuffle_collector is not None:
+        if shuffle_collector is not None and checkpoint_store is not None:
             # comp/comm split (olive.h:131-150): shuffle bytes + waits
-            # (comm) and executor run/cpu net of shuffle time (comp)
+            # (comm) and executor run/cpu net of shuffle time (comp).
+            # Collected inline ONLY on the durable path (log_superstep
+            # persists per superstep below); otherwise deferred to the
+            # first .metrics read — see _LazyMetricsList (r6).
             step_metrics.update(shuffle_collector.collect(superstep))
         step_metrics["ms"] = (time.monotonic() - t0) * 1000.0
         metrics.append(step_metrics)
@@ -654,6 +760,11 @@ def _pregel_impl(
 
     if shuffle_collector is not None:
         shuffle_collector.clear()
+        if checkpoint_store is None:
+            # deferred store reads: same job-group tags, same numbers,
+            # read on first .metrics access instead of on the loop's
+            # critical path (see _LazyMetricsList)
+            metrics = _LazyMetricsList(metrics, shuffle_collector)
 
     result_state = state.select("id", *[c for c in state_cols if c != "_active"])
     return PregelResult(

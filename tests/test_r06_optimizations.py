@@ -231,3 +231,38 @@ def test_ingest_hash_fast_path_drops_dangling_targets(spark):
     assert verts.count() == n
     # sanity: the dangling url really was emitted by the extractor
     assert links.filter(F.col("dst_url") == url_of(40)).count() == 2
+
+
+def test_shuffle_metrics_collected_lazily(spark, monkeypatch):
+    """Without a checkpoint store, the AppStatusStore reads happen on
+    first .metrics access, not inside the superstep loop (the in-loop
+    reads cost ~40-80ms/superstep of py4j round trips); the deferred
+    read returns the same per-superstep fields."""
+    from olive_spark import metrics as M
+    from olive_spark.algorithms.pagerank import pagerank_fixed
+
+    calls: list[int] = []
+    orig = M.SuperstepMetricsCollector.collect
+
+    def counting(self, superstep):
+        calls.append(superstep)
+        return orig(self, superstep)
+
+    monkeypatch.setattr(M.SuperstepMetricsCollector, "collect", counting)
+    g = Graph.from_edge_list(spark, _ring(12), n_vertices=12, num_partitions=4)
+    res = pagerank_fixed(g, iterations=3)
+    # loop finished without a single store read...
+    assert calls == []
+    ms = list(res.metrics)
+    # ...first access reads every superstep exactly once, same fields
+    assert calls == [1, 2, 3]
+    assert len(ms) == 3
+    for m in ms:
+        assert m["shuffle_read_bytes"] > 0
+        assert m["executor_run_ms"] > 0
+        assert m["ms"] > 0
+    # repeated access does not re-read
+    _ = len(res.metrics)
+    assert calls == [1, 2, 3]
+    res.free()
+    g.unpersist()
