@@ -3,18 +3,29 @@
 Not in the reference repo; included per the north rule. Same
 edge-phase/vertex-phase skeleton as the other apps, but the reduce is a
 frequency-argmax rather than a single commutative aggregate, expressed
-with the ``agg_df`` escape hatch as two built-in aggregations:
+with the ``agg_df`` escape hatch as ONE built-in aggregation (r6):
 
-    msgs(id, label) -> groupBy(id, label).count()
-                    -> max_by over (count, -label)   [deterministic]
+    msgs(id, label) -> groupBy(id).agg(mode(label, deterministic=True))
 
-Tie-break: higher count wins; equal counts -> smallest label. With a
-fixed iteration count the algorithm is fully deterministic (synchronous
-updates, no RNG), matching olive_spark.oracle.label_propagation.
+``mode(col, True)`` is Spark's typed-imperative frequency-argmax whose
+tie-break (greatest frequency, then LOWEST value) is exactly this
+algorithm's contract: higher count wins; equal counts -> smallest
+label. With a fixed iteration count the algorithm is fully
+deterministic (synchronous updates, no RNG), matching
+olive_spark.oracle.label_propagation.
 
-Scale: two shuffles per superstep — (id,label) count then per-id argmax
-— both with map-side partial aggregation; the (id,label) key space
-spreads hub skew across labels.
+Scale: ONE shuffle per superstep with map-side partial aggregation (the
+ObjectHashAggregate buffers are per-id label->count maps — the same
+per-partition (id,label) state the old two-groupBy formulation held,
+merged map-side before the exchange, so hub skew still collapses before
+the shuffle). The old shape — groupBy(id, label).count() then max_by —
+paid a second exchange + aggregate pair per superstep for the same
+result; fresh-JVM A/B at sf0.1 (OPTIMIZATION_r06.md): cold 7.9-8.9s ->
+5.3-5.6s, warm ~3.1 -> ~2.7s, outputs exactly equal; raising
+spark.sql.objectHashAggregate.sortBased.fallbackThreshold showed no
+additional win (clean reps at parity-to-worse), so the default
+sort-based fallback stays — it is also the memory-safety story at
+100TB group counts.
 """
 
 from __future__ import annotations
@@ -27,12 +38,13 @@ from olive_spark.pregel import ACCUM, PregelProgram, PregelResult, pregel, src
 
 
 def _mode_agg(msgs: DataFrame) -> DataFrame:
-    counts = msgs.groupBy("id", "g").agg(F.count("*").alias("cnt"))
-    # argmax by (cnt desc, label asc): max_by with a sortable struct —
-    # (cnt, -label) lexicographic max == deterministic tie-break.
-    return counts.groupBy("id").agg(
-        F.max_by("g", F.struct(F.col("cnt"), (-F.col("g")).alias("neg"))).alias("accum")
-    )
+    # frequency-argmax in ONE exchange: mode(col, deterministic=True)
+    # returns the most frequent label, ties -> lowest label — the exact
+    # (cnt desc, label asc) tie-break the old two-groupBy shape
+    # (groupBy(id, g).count() -> max_by((cnt, -g))) computed with a
+    # second exchange (r6; A/B + exact-equality evidence in the module
+    # docstring).
+    return msgs.groupBy("id").agg(F.mode("g", True).alias("accum"))
 
 
 def label_propagation(

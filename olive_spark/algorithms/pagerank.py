@@ -208,7 +208,12 @@ def weighted_pagerank(
     """
     wdeg = graph.edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     norm_edges = (
-        graph.edges.join(wdeg, "src")
+        # SHUFFLE_HASH hint: both sides are hash(src, P) so the join is
+        # co-partitioned either way, but unhinted the planner may pick
+        # sort-merge, which would sort the E-row side now that the edge
+        # cache is unsorted (r6) — hash-build on the V-row wdeg side
+        # keeps the layout build exchange- and sort-free.
+        graph.edges.join(wdeg.hint("shuffle_hash"), "src")
         .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("weight"))
         # the parent edge cache is already hash(src, P): the wdeg join
         # is co-partitioned and its output keeps that partitioning, so

@@ -115,17 +115,16 @@ class Graph:
             ).alias("weight"),
         )
         if partition:
-            # Hash-partition by src (the one-time edge-cut placement) AND
-            # pre-sort within partitions: the cached InMemoryRelation then
-            # carries both hashpartitioning(src) and src-ordering, so when
-            # the per-superstep state join is planned as sort-merge (state
-            # too big to broadcast), the 100TB side needs neither exchange
-            # nor sort — just the in-memory columnar scan.
-            edges = (
-                edges.repartition(num_partitions, "src")
-                .sortWithinPartitions("src")
-                .cache()
-            )
+            # Hash-partition by src: the one-time edge-cut placement.
+            # No sortWithinPartitions (r6): every consumer probes this
+            # layout through hinted broadcast/shuffled-hash joins (pregel
+            # full-frontier and large-frontier state, the weighted-
+            # pagerank wdeg join) — zero SortMergeJoin in any audited
+            # plan — so the per-partition E-row sort at build time only
+            # ever served a sort-merge fallback nothing takes (same
+            # finding that removed the symmetrized/reversed layout
+            # sorts). The CSR fast path np.argsorts its own arrays.
+            edges = edges.repartition(num_partitions, "src").cache()
         if vertices is None:
             # Fallback when no explicit id space is given: union of endpoints.
             # NOTE: misses isolated vertices — callers with a known id space
@@ -302,13 +301,29 @@ class Graph:
         dangling/isolated vertices at outdeg 0.
         """
         if self._degrees is None:
+            from olive_spark.pregel import stable_partitioning
+
             deg = self.edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-            self._degrees = (
-                self.vertices.join(deg, self.vertices.id == deg.src, "left")
-                .select("id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
-                .repartition(self.num_partitions, "id")
-                .cache()
-            )
+            # The aggregate's exchange already clusters deg by the join
+            # key; the cached vertex table is hash(id, P). A hinted
+            # shuffled-hash probe (build = the V-row deg side) therefore
+            # joins co-partitioned and PRESERVES the stream side's
+            # hash(id, P) layout — the explicit trailing
+            # repartition(P, id) was a redundant V-row exchange
+            # (guide §2.4). Coalescing is pinned off for the build so
+            # AQE cannot shrink deg's exchange out from under the
+            # co-partitioning.
+            with stable_partitioning(self.vertices.sparkSession):
+                self._degrees = (
+                    self.vertices.join(
+                        deg.hint("shuffle_hash"), self.vertices.id == deg.src, "left"
+                    )
+                    .select("id", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+                    .cache()
+                )
+                # materialize inside the pinned-conf scope so the cached
+                # plan is compiled here, not at first downstream read
+                self._degrees.count()
         return self._degrees
 
     def reversed_edges(self) -> DataFrame:

@@ -113,6 +113,12 @@ def build_graph_from_pages(
     column never crosses the Python boundary more than once and never
     enters a shuffle.
 
+    With ``hash`` ids the (id, url) mapping is returned LAZILY (unlike
+    ``sort``, which caches it): the graph build itself never reads urls,
+    so callers that skip the mapping skip its cost entirely; consumers
+    that do join back to urls recompute it from the checkpointed
+    extraction snapshot (one cheap scan).
+
     ``hash`` ids additionally skip the url-string joins entirely:
     id = xxhash64(url) is computable directly on the link rows
     (src_url is a page url by construction; dst resolution becomes a
@@ -128,16 +134,45 @@ def build_graph_from_pages(
         F.col("url").alias("src_url"), F.explode("hrefs").alias("dst_url")
     )
     urls = extracted.select("url").distinct()
-    vertices = assign_ids(urls, method=id_method).cache()
     if id_method == "hash":
-        edges = links.select(
-            F.xxhash64("src_url").alias("src"),
-            F.xxhash64("dst_url").alias("dst"),
-            F.lit(1.0).alias("weight"),
-        ).join(vertices.select("id").alias("v"), F.col("dst") == F.col("v.id"),
-               "left_semi")
-    else:
-        edges = resolve_edges(links, vertices)
+        if num_partitions is None:
+            num_partitions = spark.sparkContext.defaultParallelism
+        # Vertex ids in ONE exchange (r6, guide §2.4/§2.3): dedup on the
+        # 8-byte hash instead of the url string — identical rows under
+        # the no-collision assumption the hash id scheme already makes —
+        # and key the dedup's exchange directly to the graph layout
+        # (hash(id, P)), so Graph.from_edges caches it as-is. The old
+        # path exchanged url strings for the distinct, cached an
+        # (id, url) table the graph build never reads, then re-exchanged
+        # ids a second time inside from_edges. The (id, url) mapping is
+        # still returned, but LAZILY: callers that never join back to
+        # urls (the pure link-graph build) no longer materialize it.
+        vertex_ids = (
+            extracted.select(F.xxhash64("url").alias("id"))
+            .repartition(num_partitions, "id")
+            .distinct()
+            .cache()
+        )
+        edges = (
+            links.select(
+                F.xxhash64("src_url").alias("src"),
+                F.xxhash64("dst_url").alias("dst"),
+                F.lit(1.0).alias("weight"),
+            )
+            .join(vertex_ids.alias("v"), F.col("dst") == F.col("v.id"),
+                  "left_semi")
+            .repartition(num_partitions, "src")
+            .cache()
+        )
+        graph = Graph(
+            vertices=vertex_ids,
+            edges=edges,
+            num_partitions=num_partitions,
+        )
+        vertices = assign_ids(urls, method="hash")
+        return graph, vertices
+    vertices = assign_ids(urls, method=id_method).cache()
+    edges = resolve_edges(links, vertices)
     graph = Graph.from_edges(
         spark,
         edges,
