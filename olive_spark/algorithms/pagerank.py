@@ -227,6 +227,7 @@ def weighted_pagerank(
         edges=norm_edges,
         num_partitions=graph.num_partitions,
         _vertex_count=graph._vertex_count,
+        _edge_count=graph._edge_count,
     )
     n = g.vertex_count()
     one_over_n = 1.0 / n
@@ -259,7 +260,11 @@ def weighted_pagerank(
         ),
     )
     res = pregel(g, program, max_iterations=max_iterations, **kwargs)
-    # release only the normalized edge layout — the vertex table is the
-    # parent graph's shared cache
+    # release only the normalized edge layout (and any compact loop
+    # layout pregel memoized on this per-call wrapper) — the vertex
+    # table is the parent graph's shared cache
     norm_edges.unpersist()
+    if g._compact is not None:
+        g._compact.unpersist()
+        g._compact = None
     return res

@@ -31,6 +31,8 @@ def sssp(graph: Graph, source: int, unit_weights: bool = True,
             vertices=graph.vertices,
             edges=graph.edges.withColumn("weight", F.lit(1.0)),
             num_partitions=graph.num_partitions,
+            _vertex_count=graph._vertex_count,
+            _edge_count=graph._edge_count,
         )
     else:
         g = graph
@@ -52,6 +54,14 @@ def sssp(graph: Graph, source: int, unit_weights: bool = True,
     res = pregel(g, program, max_iterations=max_iterations,
                  checkpoint_store=checkpoint_store, checkpoint_every=checkpoint_every,
                  resume=resume)
+    if g is not graph and g._compact is not None:
+        # g is a per-call wrapper (unit-weight projection): release the
+        # compact loop layout pregel may have memoized on it — the
+        # result state is an independent snapshot, and nothing else can
+        # reach this wrapper again (the parent graph's own memo is
+        # unaffected)
+        g._compact.unpersist()
+        g._compact = None
     # still-relaxing after |V| rounds == a negative cycle is reachable
     # (distinct from "stopped early by a caller-chosen iteration cap")
     res.negative_cycle_suspected = (not res.converged) and max_iterations >= bound

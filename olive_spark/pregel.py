@@ -63,7 +63,8 @@ from olive_spark.graph import Graph
 
 
 @contextmanager
-def stable_partitioning(spark, disable_aqe: bool = False):
+def stable_partitioning(spark, disable_aqe: bool = False,
+                        shuffle_partitions: int | None = None):
     """Disable AQE partition coalescing — or AQE outright — for an
     iterative section.
 
@@ -90,18 +91,27 @@ def stable_partitioning(spark, disable_aqe: bool = False):
     per-superstep scheduling latency. One-shot queries (triangles,
     ingest) keep AQE on.
     """
-    keys = (
-        ["spark.sql.adaptive.enabled"]
-        if disable_aqe
-        else ["spark.sql.adaptive.coalescePartitions.enabled"]
-    )
+    sets = {
+        (
+            "spark.sql.adaptive.enabled"
+            if disable_aqe
+            else "spark.sql.adaptive.coalescePartitions.enabled"
+        ): "false"
+    }
+    if shuffle_partitions is not None:
+        # pin the section's shuffle width to the loop graph's layout:
+        # the message aggregate's exchange then lands co-partitioned
+        # with the cached edge/state layout BY CONSTRUCTION instead of
+        # by the session-conf coincidence shuffle.partitions == P
+        # (r6; required for compact loop layouts, see Graph.loop_layout)
+        sets["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     prev: dict[str, str | None] = {}
-    for key in keys:
+    for key, val in sets.items():
         try:
             prev[key] = spark.conf.get(key)
         except Exception:
             prev[key] = None
-        spark.conf.set(key, "false")
+        spark.conf.set(key, val)
     try:
         yield
     finally:
@@ -544,7 +554,14 @@ def pregel(
     vertex_attrs: optional static per-vertex attribute DataFrame
     broadcast-joined into the init base (see _init_state).
     """
-    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True):
+    # scale-adaptive loop layout (guide §2.2): on a graph whose edge
+    # count is small relative to its configured parallelism, iterate on
+    # the memoized compact re-layout so per-superstep task scheduling
+    # does not dominate the data work; a no-op (returns `graph`) above
+    # the hysteresis threshold — see Graph.loop_layout.
+    graph = graph.loop_layout()
+    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True,
+                             shuffle_partitions=graph.num_partitions):
         return _pregel_impl(
             graph,
             program,

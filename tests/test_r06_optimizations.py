@@ -249,6 +249,11 @@ def test_shuffle_metrics_collected_lazily(spark, monkeypatch):
         return orig(self, superstep)
 
     monkeypatch.setattr(M.SuperstepMetricsCollector, "collect", counting)
+    # pin the compact loop layout OFF: at the default target this tiny
+    # ring would compact to ONE partition, where the message aggregate
+    # needs no exchange at all and shuffle_read_bytes is legitimately 0
+    # — this test wants a real shuffle to assert the deferred fields on
+    monkeypatch.setenv("OLIVE_LOOP_ROWS_PER_PARTITION", "1")
     g = Graph.from_edge_list(spark, _ring(12), n_vertices=12, num_partitions=4)
     res = pagerank_fixed(g, iterations=3)
     # loop finished without a single store read...
@@ -266,3 +271,53 @@ def test_shuffle_metrics_collected_lazily(spark, monkeypatch):
     assert calls == [1, 2, 3]
     res.free()
     g.unpersist()
+
+
+# --- compact loop layout (scale-adaptive partitioning) ---------------------
+
+def test_loop_layout_hysteresis_and_memo(spark, monkeypatch):
+    """loop_layout compacts only when it at least halves the partition
+    count, derives P from the measured edge count, memoizes the layout,
+    and graph.unpersist() cascades to it."""
+    g = Graph.from_edge_list(spark, _ring(64), n_vertices=64, num_partitions=4)
+    # target below E/2 per partition -> p > num_partitions//2 -> no-op
+    monkeypatch.setenv("OLIVE_LOOP_ROWS_PER_PARTITION", "22")  # p=3 > 2
+    assert g.loop_layout() is g
+    # default target -> p=1 <= 2 -> compact
+    monkeypatch.delenv("OLIVE_LOOP_ROWS_PER_PARTITION")
+    c = g.loop_layout()
+    assert c is not g
+    assert c.num_partitions == 1
+    assert c.edges.rdd.getNumPartitions() == 1
+    # memoized: same object on re-request
+    assert g.loop_layout() is c
+    # same rows, either layout
+    assert c.edge_count() == g.edge_count() == 64
+    assert c.vertex_count() == 64
+    # cascade release
+    g.unpersist()
+    assert g._compact is None
+
+
+def test_pregel_on_compact_layout_matches_uncompacted(spark, monkeypatch):
+    """PageRank over the compacted loop layout is value-identical to the
+    run with compaction pinned off (same program, same graph)."""
+    from olive_spark.algorithms.pagerank import pagerank_fixed
+
+    edges = _ring(50) + [(0, 25), (25, 0), (7, 7)]
+    monkeypatch.setenv("OLIVE_LOOP_ROWS_PER_PARTITION", "1")  # off
+    g1 = Graph.from_edge_list(spark, edges, n_vertices=50, num_partitions=4)
+    r1 = pagerank_fixed(g1, iterations=8)
+    plain = {row["id"]: row["rank"] for row in r1.state.collect()}
+    r1.free(); g1.unpersist()
+
+    monkeypatch.delenv("OLIVE_LOOP_ROWS_PER_PARTITION")  # default: compacts
+    g2 = Graph.from_edge_list(spark, edges, n_vertices=50, num_partitions=4)
+    assert g2.loop_layout().num_partitions == 1
+    r2 = pagerank_fixed(g2, iterations=8)
+    compact = {row["id"]: row["rank"] for row in r2.state.collect()}
+    r2.free(); g2.unpersist()
+
+    assert set(plain) == set(compact)
+    for k in plain:
+        assert abs(plain[k] - compact[k]) < 1e-12
