@@ -64,7 +64,14 @@ def hits(
     """
     if iterations < 1:
         raise ValueError(f"hits requires iterations >= 1, got {iterations}")
-    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True):
+    # same scale-adaptive compact loop layout as pregel (Graph.loop_layout):
+    # on a small graph the per-round fixed cost is task scheduling across
+    # ~6 stages/round; a no-op above the hysteresis threshold. The shuffle
+    # width is pinned to the loop graph's partition count so the two
+    # half-round aggregates land co-partitioned with the cached layouts.
+    graph = graph.loop_layout()
+    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True,
+                             shuffle_partitions=graph.num_partitions):
         return _hits_impl(graph, iterations, broadcast_threshold)
 
 
