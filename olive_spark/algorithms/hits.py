@@ -98,8 +98,12 @@ def _hits_impl(graph: Graph, iterations: int, broadcast_threshold: int) -> DataF
     # hits_k3 oracle). This removes the two verts left-joins and two of
     # the four V-row snapshots per round; full vertex coverage (score
     # 0.0) is restored by two left joins ONCE at the end.
-    state = verts.select("id", F.lit(1.0).alias("hub"))
-    state = state.repartition(graph.num_partitions, "id").localCheckpoint(
+    # no repartition: the cached vertex table is already hash(id, P) and
+    # the narrow projection preserves it, so the explicit exchange was a
+    # redundant V-row shuffle per hits call (same finding as the pregel
+    # init-exchange removal; the AQE-off scope keeps the partitioning
+    # recorded on the snapshot)
+    state = verts.select("id", F.lit(1.0).alias("hub")).localCheckpoint(
         eager=False
     )
     auth = None

@@ -66,7 +66,11 @@ def kcore(graph: Graph, k: int, max_rounds: int = 100) -> KCoreResult:
         # 0-core = every vertex (including isolated ones)
         state = graph.vertices.select("id", F.lit(True).alias("in_core"))
         return KCoreResult(state=state, rounds=0, converged=True)
-    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True):
+    # shuffle width pinned to the graph's layout so the per-round message
+    # aggregate lands co-partitioned with the peel state by construction
+    # (same policy as pregel/hits, r6)
+    with stable_partitioning(graph.edges.sparkSession, disable_aqe=True,
+                             shuffle_partitions=graph.num_partitions):
         return _kcore_impl(graph, k, max_rounds)
 
 
@@ -77,28 +81,33 @@ def _kcore_impl(graph: Graph, k: int, max_rounds: int) -> KCoreResult:
     verts = graph.vertices
     P = graph.num_partitions
 
-    # One-time layout: symmetrized closure, partitioned+sorted by src,
-    # cached. Never touched again except as the probe side of the
-    # frontier join.
+    # One-time layout: symmetrized closure, partitioned by src, cached.
+    # Never touched again except as the probe side of the frontier join.
+    # No sortWithinPartitions (r6): the only consumers are hinted
+    # shuffled-hash joins — the 2E-row per-partition sort served nothing
+    # (same dead-sort finding as the main edge cache / symmetrized /
+    # reversed layouts).
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(P, "src")
-        .sortWithinPartitions("src")
         .cache()
     )
 
     # state (id, deg, removed): deg = degree in the induced subgraph on
-    # current survivors; isolated vertices enter at deg 0.
+    # current survivors; isolated vertices enter at deg 0. The hinted
+    # shuffled-hash probe of the V-row deg0 side preserves the cached
+    # vertex table's hash(id, P) through the left join, so the old
+    # trailing repartition(P, id) was a redundant V-row exchange
+    # (same finding as Graph.degrees(), r6).
     deg0 = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     state = (
-        verts.join(deg0, verts["id"] == deg0["src"], "left")
+        verts.join(deg0.hint("shuffle_hash"), verts["id"] == deg0["src"], "left")
         .select(
             "id",
             F.coalesce("deg", F.lit(0)).alias("deg"),
             F.lit(False).alias("removed"),
         )
-        .repartition(P, "id")
         .localCheckpoint(eager=False)
     )
     # Materialize init state AND (via the deg0 scan) the sym cache in one
