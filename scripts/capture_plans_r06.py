@@ -176,11 +176,15 @@ def _hits_round_df(graph):
         return F.broadcast(df)
 
     if "live_snapshots" in src:  # optimized tree: restricted score tables
+        if hasattr(graph, "loop_layout"):  # late-r6: compact loop layout
+            graph = graph.loop_layout()
+            edges = graph.edges
+            rev = graph.reversed_edges()
         verts = graph.vertices
         state = verts.select("id", F.lit(1.0).alias("hub"))
-        state = state.repartition(graph.num_partitions, "id").localCheckpoint(
-            eager=False
-        )
+        if "no repartition" not in src:  # pre-batch-6 shape
+            state = state.repartition(graph.num_partitions, "id")
+        state = state.localCheckpoint(eager=False)
         state.count()
         a_msg = (
             _hinted(state).alias("s")
